@@ -1,0 +1,76 @@
+"""As-of join vs the O(n·m) pandas oracle — ties, strictness, missing
+facts, facts-before-first-spine-row all exercised."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_frames_match
+from turboxsl_spark.operators.asof import asof_join
+from turboxsl_spark.reference_impl import reference_asof
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(5)
+    n_keys = 12
+    spine_rows, fact_rows = [], []
+    base = pd.Timestamp("2025-03-01")
+    for k in range(n_keys):
+        key = f"k{k}"
+        n_s = int(rng.integers(3, 30))
+        n_f = int(rng.integers(0, 20))  # some keys have no facts at all
+        s_ts = np.sort(rng.integers(0, 10_000, n_s))
+        f_ts = np.sort(rng.integers(-100, 10_000, max(n_f, 0)))
+        # force exact ties: copy a few spine timestamps into facts
+        if n_f > 2 and n_s > 2:
+            f_ts[: 2] = s_ts[:2]
+            f_ts = np.sort(f_ts)
+        for i, t in enumerate(s_ts):
+            spine_rows.append((key, base + pd.Timedelta(seconds=int(t)), i))
+        for i, t in enumerate(f_ts):
+            fact_rows.append(
+                (key, base + pd.Timedelta(seconds=int(t)), i, float(rng.normal()), f"s{i%3}")
+            )
+    spine = pd.DataFrame(spine_rows, columns=["conv_id", "ts", "turn_idx"])
+    facts = pd.DataFrame(fact_rows, columns=["conv_id", "ts", "fact_id", "value", "state"])
+    return spine, facts
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_oracle(spark, frames, strict):
+    spine, facts = frames
+    got = asof_join(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        strict=strict,
+        fact_seq_col="fact_id",
+    ).toPandas()
+    want = reference_asof(
+        spine, facts, "conv_id", "ts", ["value", "state"], strict=strict, seq_col="fact_id"
+    )
+    got["value_asof"] = got["value_asof"].astype("float64")
+    want["value_asof"] = want["value_asof"].astype("float64")
+    assert_frames_match(
+        got, want, keys=["conv_id", "turn_idx"], float_cols=["value_asof"]
+    )
+
+
+def test_asof_no_fact_is_null(spark, frames):
+    spine, facts = frames
+    facts_none = facts[facts["conv_id"] == "__nope__"]
+    got = asof_join(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts_none, schema=spark.createDataFrame(facts).schema),
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+    ).toPandas()
+    assert got["value_asof"].isna().all()
+    assert got["state_asof"].isna().all()
+    assert len(got) == len(spine)

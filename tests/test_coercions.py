@@ -1,0 +1,99 @@
+"""Unit pins for the reference's C value semantics (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from turboxsl_spark.functions.numeric import (
+    xpath_boolean_str,
+    xpath_mod,
+    xpath_number,
+    xpath_number_to_string,
+    xpath_round,
+)
+from turboxsl_spark.functions.strings import (
+    avt_template,
+    normalize_space,
+    substring_after,
+    substring_before,
+    xpath_substring,
+    xpath_translate,
+)
+
+
+def _vals(spark, col, data, intype="double"):
+    df = spark.createDataFrame([(v,) for v in data], schema=f"x {intype}")
+    return [r[0] for r in df.select(col.alias("y")).collect()]
+
+
+def test_round_is_floor_half_up(spark):
+    # round(-0.5) == 0.0 — floor(x+0.5), NOT banker's/HALF_UP
+    got = _vals(spark, xpath_round(F.col("x")), [-0.5, 0.5, 2.5, -2.5, 1.4, -1.6])
+    assert got == [0.0, 1.0, 3.0, -2.0, 1.0, -2.0]
+
+
+def test_mod_truncates_to_long(spark):
+    df = spark.createDataFrame([(7.9, 3.9), (-7.0, 3.0), (7.0, -3.0)], "l double, r double")
+    got = [r[0] for r in df.select(xpath_mod("l", "r").alias("m")).collect()]
+    assert got == [1, -1, 1]  # C % semantics on longs
+
+
+def test_number_coercion_nan(spark):
+    got = _vals(
+        spark, xpath_number(F.col("x")), ["", "abc", " 4.5 ", "7", None], intype="string"
+    )
+    assert math.isnan(got[0]) and math.isnan(got[1])
+    assert got[2] == 4.5 and got[3] == 7.0
+    assert got[4] is None
+
+
+def test_boolean_empty_string_false(spark):
+    got = _vals(spark, xpath_boolean_str(F.col("x")), ["", "a", "0", None], intype="string")
+    assert got == [False, True, True, False]
+
+
+def test_integral_double_to_string(spark):
+    got = _vals(spark, xpath_number_to_string(F.col("x")), [4.0, 4.5, -3.0, float("nan")])
+    assert got == ["4", "4.5", "-3", "NaN"]
+
+
+def test_normalize_space(spark):
+    got = _vals(
+        spark,
+        normalize_space(F.col("x")),
+        ["  a   b\tc\n d  ", "x", "   ", ""],
+        intype="string",
+    )
+    assert got == ["a b c d", "x", "", ""]
+
+
+def test_translate_deletes_unmatched(spark):
+    got = _vals(spark, xpath_translate(F.col("x"), "abc", "AB"), ["abcabc"], intype="string")
+    assert got == ["ABAB"]  # 'c' deleted: no counterpart in 'to'
+
+
+def test_substring_one_based_codepoints(spark):
+    got = _vals(spark, xpath_substring(F.col("x"), 2, 3), ["héllo好"], intype="string")
+    assert got == ["éll"]
+
+
+def test_substring_before_after(spark):
+    data = ["1999/04/01", "nope"]
+    before = _vals(spark, substring_before(F.col("x"), "/"), data, intype="string")
+    after = _vals(spark, substring_after(F.col("x"), "/"), data, intype="string")
+    assert before == ["1999", ""]
+    assert after == ["04/01", ""]
+
+
+def test_avt_template_braces(spark):
+    df = spark.createDataFrame([("world", 3)], "name string, n int")
+    col = avt_template("hi {name} x{{esc}} #{n}", name=F.col("name"), n=F.col("n"))
+    assert df.select(col.alias("t")).collect()[0][0] == "hi world x{esc} #3"
+
+
+def test_avt_missing_slot_raises():
+    with pytest.raises(KeyError):
+        avt_template("{missing}", present=F.lit(1))

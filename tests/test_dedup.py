@@ -1,0 +1,118 @@
+"""Dedup operators: exact, MinHash+LSH, n-gram Jaccard, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from turboxsl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    shingles,
+    simhash_xxh,
+    tokenize,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  the   quick brown fox jumps over the lazy dog while the cat sleeps "
+            "near the warm fire and the birds sing in the tall green trees  "),  # ws-dup of 1
+        (4, BASE.replace("lazy", "sleepy")),  # near-dup of 1
+        (5, "completely different content about spark window functions and "
+            "point in time feature engineering over conversation transcripts"),
+        (6, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    kept = exact_dedup(docs).select("doc_id").toPandas()["doc_id"].sort_values().tolist()
+    # 2 and 3 collapse into 1
+    assert kept == [1, 4, 5, 6]
+
+
+def test_shingles_jvm_matches_python(spark, docs):
+    row = docs.where("doc_id = 6").select(
+        shingles(tokenize("text"), 3).alias("sh")
+    ).collect()[0]
+    assert row["sh"] == ["short doc"]  # shorter than n → whole text
+    row = (
+        spark.createDataFrame([("a b c d",)], "text string")
+        .select(shingles(tokenize("text"), 3).alias("sh"))
+        .collect()[0]
+    )
+    assert row["sh"] == ["a b c", "b c d"]
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=32).select("doc_id", "minhash").collect()
+    by_id = {r["doc_id"]: r["minhash"] for r in sigs}
+    assert by_id[1] == by_id[2] == by_id[3]  # normalization folds ws
+    assert by_id[1] != by_id[5]
+    # near-dup shares most minhash slots
+    same = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert same >= 16  # jaccard ~0.85 → expect most slots equal
+
+
+def test_lsh_finds_near_dup_pair(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=64)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).toPandas()
+    pairset = {tuple(p) for p in pairs[["id_a", "id_b"]].values}
+    assert (1, 4) in pairset
+    assert (1, 5) not in pairset and (5, 6) not in pairset
+
+
+def test_ngram_jaccard_exact_value(spark, docs):
+    pairs = spark.createDataFrame([(1, 4), (1, 5)], "id_a long, id_b long")
+    j = ngram_jaccard(pairs, docs).toPandas().set_index(["id_a", "id_b"])["jaccard"]
+    # python oracle
+    def sh3(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    a, b = sh3(BASE), sh3(BASE.replace("lazy", "sleepy"))
+    want = len(a & b) / len(a | b)
+    assert abs(j[(1, 4)] - want) < 1e-12
+    assert j[(1, 5)] < 0.05
+
+
+def test_minhash_dedup_end_to_end(spark, docs):
+    # one-word change in 25 words → jaccard 20/26 ≈ 0.77
+    kept = (
+        minhash_dedup(docs, threshold=0.7)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert kept == [1, 5, 6]
+    # at a stricter threshold the near-dup survives, exact dups still die
+    strict = (
+        minhash_dedup(docs, threshold=0.8)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert strict == [1, 4, 5, 6]
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    s1 = simhash_xxh(docs).select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]
+    s2 = simhash_xxh(docs).select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]
+    assert (s1 == s2).all()
+    assert s1[1] == s1[2] == s1[3]
+    ham = bin((int(s1[1]) ^ int(s1[4])) & (2**64 - 1)).count("1")
+    ham_far = bin((int(s1[1]) ^ int(s1[5])) & (2**64 - 1)).count("1")
+    assert ham < ham_far

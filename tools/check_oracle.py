@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
+it against ``oracle_sql()`` via DuckDB: row count, column names, and an
+order-insensitive value comparison (sorted rows, float-tolerant).
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort()
+    return [cols[i] for i in idx], out
+
+
+def main(names: list[str] | None = None) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from turboxsl_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = names or list(qs)
+    failures = 0
+    for name in names:
+        fn = qs[name]
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows) — no oracle")
+            continue
+        rel = con.sql(oracles[name])
+        dcols = rel.columns
+        drows = rel.fetchall()
+        sc, sn = _norm_rows(scols, srows)
+        dc, dn = _norm_rows(dcols, drows)
+        ok = True
+        if sc != dc:
+            print(f"{name}: COLUMN MISMATCH spark={sc} duck={dc}")
+            ok = False
+        if len(sn) != len(dn):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(sn)} duck={len(dn)}")
+            ok = False
+        if ok and sn != dn:
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            print(f"{name}: VALUE MISMATCH, first diffs: {diff}")
+            ok = False
+        if ok:
+            print(f"{name}: OK ({len(sn)} rows)")
+        else:
+            failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))

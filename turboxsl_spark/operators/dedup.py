@@ -1,0 +1,269 @@
+"""Document deduplication — exact and near-dup, Spark-first.
+
+The training-data-pipeline operators (task brief): exact hash dedup,
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
+near-dup. Everything except SimHash bit-voting stays JVM-side
+(xxhash64 + higher-order array functions); SimHash uses a vectorized
+numpy pandas-UDF because 64-bit bit-voting has no array-function
+equivalent that stays readable.
+
+Scale notes:
+- shingling/minhash are per-row map work — no shuffle, fully parallel;
+- LSH banding shuffles once on (band, band_hash) — candidate pairs are
+  generated per bucket, so the blowup is bounded by bucket size, not n²;
+- the Jaccard verify runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic odd multipliers/addends for the k min-hash functions
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    # 31-bit multipliers/addends: with the token hash also folded to 31
+    # bits, a*h+b stays < 2^63 (no ANSI long overflow), mod 2^61-1 after
+    rng = np.random.default_rng(seed)
+    top = 1 << 31
+    return [
+        (int(rng.integers(1, top)) | 1, int(rng.integers(0, top)))
+        for _ in range(k)
+    ]
+
+
+def tokenize(c: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization after normalize-space."""
+    c = F.col(c) if isinstance(c, str) else c
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, " ")
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles via sequence+transform — JVM-side sliding window."""
+    return F.when(
+        F.size(tokens) < n,
+        # short docs: the whole token string is the single shingle
+        F.array(F.concat_ws(" ", tokens)),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (min id) per identical normalized text.
+
+    Hash-groupBy: one shuffle on the md5; Catalyst does partial
+    aggregation map-side.
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    h = F.md5(c)
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    out: str = "minhash",
+) -> DataFrame:
+    """k-permutation MinHash over word shingles, all JVM-side.
+
+    signature[i] = min over shingles s of (a_i * xxhash64(s) + b_i) mod M
+    """
+    params = _hash_params(num_hashes, seed)
+    sh = shingles(tokenize(text_col), shingle_n)
+    df = df.withColumn(
+        "_hashes", F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    )
+
+    def perm(a: int, b: int):
+        # closure factory: a plain 1-arg lambda for F.transform
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_hashes"), perm(a, b)))
+            for a, b in params
+        ]
+    )
+    return df.withColumn(out, sig).drop("_hashes")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures, bucket-join within (band, bucket_hash).
+
+    Returns distinct candidate pairs (id_a < id_b). The self-join is an
+    equi-join on the bucket key — a single shuffle, no n² blowup.
+    """
+    band_idx = list(range(bands))
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in band_idx
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage)."""
+    sh = docs.select(
+        F.col(id_col).alias("_jid"),
+        F.array_distinct(shingles(tokenize(text_col), shingle_n)).alias("_sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") == 0, F.lit(1.0)).otherwise(
+                F.col("inter").cast("double") / F.col("uni")
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: sign → LSH buckets → Jaccard verify →
+    connected pairs collapsed to min-id representative (1 union step —
+    for chains longer than 1 hop, iterate; near-dup clusters in web
+    corpora are overwhelmingly star-shaped around a canonical doc)."""
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands, num_hashes // bands)
+    dupes = ngram_jaccard(pairs, df, id_col, text_col).where(
+        F.col("jaccard") >= threshold
+    )
+    # min representative per duplicate member
+    rep = dupes.groupBy("id_b").agg(F.min("id_a").alias("_rep"))
+    return (
+        df.join(rep.withColumnRenamed("id_b", id_col), id_col, "left")
+        .where(F.col("_rep").isNull())
+        .drop("_rep")
+    )
+
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def _bitvote_udf(token_hashes: pd.Series) -> pd.Series:
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hs in enumerate(token_hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64)
+        bits = ((arr[:, None].view(np.uint64) >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        ) * 2 - 1
+        votes = bits.sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_xxh(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """Deterministic SimHash: JVM xxhash64 per token, numpy bit-voting."""
+    toks = tokenize(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.withColumn(out, _bitvote_udf(hashes))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 16,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH bucketing.
+
+    Pairs sharing a sign-signature bucket get exact cosine; pairs above
+    the threshold are emitted. One shuffle on the bucket key.
+    """
+    from turboxsl_spark.operators.similarity import cosine, random_hyperplane_bucket
+
+    b = random_hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed, dim=dim)
+    bucketed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), b.alias("_bkt"))
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(r, "_bkt")
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

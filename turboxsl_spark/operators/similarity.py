@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — JVM-side dot products via
+zip_with/aggregate (no Python in the hot path), a crossJoin against a
+BROADCAST query set, and a per-query top-k window. Cost is
+|queries| × |corpus| dot products, embarrassingly parallel; correct
+answer, no recall loss — the oracle for the approximate paths.
+
+Scale path: random-hyperplane LSH bucketing (sign-bit signature as the
+bucket key) — one shuffle on the bucket, search only within buckets;
+multi-probe = search the query's bucket plus 1-bit-flip neighbours.
+An IVF variant (k-means coarse quantizer) would follow the same
+bucket-join shape; LSH chosen because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for every query row.
+
+    ``queries`` must be small enough to broadcast (typical: a probe
+    batch); the corpus streams by. Returns (q_id, vec_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(nbits: int, dim: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def random_hyperplane_bucket(
+    vec: Column, nbits: int = 16, seed: int = 7, dim: int | None = None
+) -> Column:
+    """Sign-bit LSH bucket id: bit i = (vec · plane_i) > 0.
+
+    Planes are deterministic (seeded) plan-time literals; the dot
+    products run JVM-side. ``dim`` defaults to 64 (the testdata
+    embedding width) — pass explicitly for other widths.
+    """
+    dim = dim or 64
+    planes = _hyperplanes(nbits, dim, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(vec, plane) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, exact cosine inside.
+
+    ``multiprobe``: also probe buckets at Hamming distance 1 from the
+    query's bucket (recall boost at nbits× extra candidates).
+    Returns the same shape as brute_force_topk.
+    """
+    b = random_hyperplane_bucket(F.col(vec_col), nbits, seed, dim)
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"), b.alias("bucket"))
+    qb = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"), b.alias("_b0"))
+    if multiprobe:
+        probes = F.array(
+            F.col("_b0"),
+            *[
+                F.col("_b0").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(nbits)
+            ],
+        )
+    else:
+        probes = F.array(F.col("_b0"))
+    q = qb.select(query_id, "_qv", F.explode(probes).alias("bucket"))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id, corpus_id, cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
