@@ -376,6 +376,140 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_template_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 xsl:choose/when/otherwise — first-match multiway branch as a
+    chained F.when (the engine's template-dispatch form)."""
+    ev = _t(spark, sf_dir, "events")
+    category = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("browse"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("convert"))
+        .otherwise(F.lit("other"))
+    )
+    adjusted = (
+        F.when(F.col("event_type") == "purchase", F.col("value") * 2)
+        .when(F.col("event_type") == "error", F.lit(0.0))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.select(category.alias("category"), adjusted.alias("adj"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("adj"), 4).alias("sum_adj"),
+        )
+    )
+
+
+def q_existential_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 XPath existential `=` over nodesets: ANY-pair match between
+    a user's event-type set and a constant set."""
+    ev = _t(spark, sf_dir, "events")
+    types = F.collect_set("event_type").alias("types")
+    g = ev.groupBy("user_id").agg(types)
+    return g.select(
+        "user_id",
+        F.array_contains("types", "purchase").alias("has_purchase"),
+        F.arrays_overlap(
+            F.col("types"), F.array(F.lit("error"), F.lit("signup"))
+        ).alias("has_err_or_signup"),
+        F.size("types").cast("long").alias("n_types"),
+    )
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 set ops the reference lacks: orders with BOTH hi- and lo-
+    quantity lines (INTERSECT) tagged against hi-only (EXCEPT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    hi = li.where(F.col("l_quantity") >= 45).select("l_orderkey").distinct()
+    lo = li.where(F.col("l_quantity") <= 5).select("l_orderkey").distinct()
+    both = hi.intersect(lo).select("l_orderkey", F.lit("both").alias("tag"))
+    hi_only = hi.exceptAll(lo).select("l_orderkey", F.lit("hi_only").alias("tag"))
+    return both.unionByName(hi_only)
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 pivot: order counts by priority × status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 exsl:node-set analogue: parse a JSON string column into
+    typed values (get_json_object) + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_key_lookup_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 key() with unmatched probes: left join against a filtered
+    dimension; misses yield NULL (key() → empty nodeset)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("p_brand").alias("n_matched"),
+        F.sum(F.when(F.col("p_brand").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+def q_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ltr:__l/__ln localization: catalog lookup + plural rule +
+    {n} interpolation, all plan-time map lookups."""
+    from turboxsl_spark.functions.localize import localize, localize_plural
+
+    ev = _t(spark, sf_dir, "events")
+    cat = {
+        "click": "Clicked",
+        "view": "Viewed",
+        "purchase": "Purchased",
+        "signup": "Signed up",
+        "error": "Failed",
+    }
+    k = F.get_json_object("props", "$.k").cast("long")
+    forms = {"items": ["{n} item", "{n} items"]}
+    return ev.select(
+        "event_id",
+        localize("event_type", cat).alias("label"),
+        localize_plural(F.lit("items"), k, forms, "en").alias("items_text"),
+    )
+
+
+def q_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 format-number pattern subset (rows-only: no DecimalFormat
+    twin in DuckDB; semantics pinned by tests/test_functions_misc.py)."""
+    from turboxsl_spark.functions.format_number import format_number
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        format_number("l_extendedprice", "#,##0.00").alias("price_fmt"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -396,6 +530,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "token_quality": q_token_quality,
         "lang_id": q_lang_id,
+        "template_dispatch": q_template_dispatch,
+        "existential_eq": q_existential_eq,
+        "intersect_except": q_intersect_except,
+        "pivot": q_pivot,
+        "json_extract": q_json_extract,
+        "key_lookup_null": q_key_lookup_null,
+        "localize": q_localize,
+        "format_number": q_format_number,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
@@ -576,6 +718,71 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY user_id) AS last_pos,
                    ROUND(SUM(value) OVER ({_EVENT_WINDOW} ROWS UNBOUNDED PRECEDING), 6)
                        AS running_value
+            FROM events
+        """,
+        "template_dispatch": """
+            SELECT CASE WHEN event_type IN ('click','view') THEN 'browse'
+                        WHEN event_type IN ('purchase','signup') THEN 'convert'
+                        ELSE 'other' END AS category,
+                   COUNT(*) AS n,
+                   ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value * 2
+                                  WHEN event_type = 'error' THEN 0.0
+                                  ELSE value END), 4) AS sum_adj
+            FROM events GROUP BY 1
+        """,
+        "existential_eq": """
+            WITH g AS (
+                SELECT user_id, list(DISTINCT event_type) AS types
+                FROM events GROUP BY user_id)
+            SELECT user_id,
+                   list_contains(types, 'purchase') AS has_purchase,
+                   list_has_any(types, ['error','signup']) AS has_err_or_signup,
+                   CAST(len(types) AS BIGINT) AS n_types
+            FROM g
+        """,
+        "intersect_except": """
+            WITH hi AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45),
+                 lo AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity <= 5)
+            SELECT l_orderkey, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+            UNION ALL
+            SELECT l_orderkey, 'hi_only' AS tag FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+                   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "key_lookup_null": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_lines,
+                   COUNT(p_brand) AS n_matched,
+                   SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS n_null
+            FROM lineitem
+            LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 40) p
+                   ON l_partkey = p_partkey
+            GROUP BY l_returnflag
+        """,
+        "localize": """
+            SELECT event_id,
+                   CASE event_type WHEN 'click' THEN 'Clicked'
+                                   WHEN 'view' THEN 'Viewed'
+                                   WHEN 'purchase' THEN 'Purchased'
+                                   WHEN 'signup' THEN 'Signed up'
+                                   WHEN 'error' THEN 'Failed'
+                                   ELSE event_type END AS label,
+                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 1
+                        THEN json_extract_string(props, '$.k') || ' item'
+                        ELSE json_extract_string(props, '$.k') || ' items' END AS items_text
             FROM events
         """,
         "token_quality": """

@@ -1,0 +1,74 @@
+"""Localization, format-number, engine extension point."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from turboxsl_spark.engine import Engine
+from turboxsl_spark.functions.format_number import DecimalFormat, format_number
+from turboxsl_spark.functions.localize import localize, localize_plural
+
+
+def test_localize_fallback(spark):
+    df = spark.createDataFrame([("greeting",), ("missing_key",)], "k string")
+    cat = {"greeting": "Здравствуйте", "bye": "Пока"}
+    got = [r[0] for r in df.select(localize("k", cat).alias("v")).collect()]
+    assert got == ["Здравствуйте", "missing_key"]
+
+
+def test_localize_plural_en_ru(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,), (5,), (11,), (21,), (104,)], "n int")
+    forms_en = {"books": ["{n} book", "{n} books"]}
+    forms_ru = {"books": ["{n} книга", "{n} книги", "{n} книг"]}
+    en = [r[0] for r in df.select(localize_plural(F.lit("books"), "n", forms_en, "en").alias("v")).collect()]
+    ru = [r[0] for r in df.select(localize_plural(F.lit("books"), "n", forms_ru, "ru").alias("v")).collect()]
+    assert en == ["0 books", "1 book", "2 books", "5 books", "11 books", "21 books", "104 books"]
+    assert ru == ["0 книг", "1 книга", "2 книги", "5 книг", "11 книг", "21 книга", "104 книги"]
+
+
+@pytest.mark.parametrize(
+    "pattern,value,want",
+    [
+        ("#,##0.00", 1234567.891, "1,234,567.89"),
+        ("#,##0.00", -0.5, "-0.50"),
+        ("0", 4.4, "4"),
+        ("0", 4.5, "5"),
+        ("#.##", 0.125, "0.13"),   # HALF_UP at max_frac  (0.125*100=12.5 → 13)
+        ("#.##", 3.0, "3"),
+        ("00000", 42, "00042"),
+        ("#,##0", 999, "999"),
+        ("#,##0", float("nan"), "NaN"),
+    ],
+)
+def test_format_number_patterns(spark, pattern, value, want):
+    df = spark.createDataFrame([(float(value),)], "x double")
+    got = df.select(format_number("x", pattern).alias("v")).collect()[0][0]
+    assert got == want
+
+
+def test_format_number_custom_symbols(spark):
+    df = spark.createDataFrame([(1234.5,)], "x double")
+    sym = DecimalFormat(decimal_sep=",", grouping_sep=" ", minus="−")
+    got = df.select(format_number("x", "#,##0.00", sym).alias("v")).collect()[0][0]
+    assert got == "1 234,50"
+
+
+def test_format_number_rejects_percent():
+    with pytest.raises(ValueError):
+        format_number(F.lit(1.0), "0%")
+
+
+def test_engine_register_feature(spark):
+    from turboxsl_spark.sources.transcripts import TRANSCRIPT_SCHEMA, gen_transcripts_pdf
+
+    eng = Engine(spark)
+    eng.register_feature(
+        "shout_len", lambda s: s.str.upper().str.len().astype("int32"), "int"
+    )
+    eng.register_feature("double_len", lambda c: F.length(c) * 2)  # Column builder
+    df = spark.createDataFrame(gen_transcripts_pdf(10, seed=2), TRANSCRIPT_SCHEMA)
+    out = eng.build_features(df).select("text_norm", "shout_len", "double_len").toPandas()
+    assert (out["shout_len"] == out["text_norm"].str.len()).all()
+    assert (out["double_len"] == out["text_norm"].str.len() * 2).all()
