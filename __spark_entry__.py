@@ -510,6 +510,52 @@ def q_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 descendant:: / exsl:node-set as explode: top-50 tokens
+    across documents (tokenize → explode → count → rank)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    counts = (
+        d.where(F.length(norm) > 0)
+        .select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 50)
+        .select("token", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 grouped-map UDAF (applyInPandas): per-conversation
+    user→assistant response latency over the events adapter; the SQL
+    oracle re-derives it with window functions."""
+    from turboxsl_spark.operators.conv_udaf import response_latency_stats
+    from turboxsl_spark.sources.transcripts import transcripts_from_events
+
+    tx = transcripts_from_events(spark, sf_dir)
+    # adapter roles are event types; treat 'click' as user and
+    # 'purchase' as assistant so pairs exist deterministically
+    tx = tx.withColumn(
+        "role",
+        F.when(F.col("role") == "click", "user")
+        .when(F.col("role") == "purchase", "assistant")
+        .otherwise(F.col("role")),
+    )
+    out = response_latency_stats(tx)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_responses",
+        F.round("mean_response_s", 4).alias("mean_response_s"),
+        F.round("max_response_s", 4).alias("max_response_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -538,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_lookup_null": q_key_lookup_null,
         "localize": q_localize,
         "format_number": q_format_number,
+        "explode_tokens": q_explode_tokens,
+        "response_latency": q_response_latency,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
@@ -784,6 +832,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract_string(props, '$.k') || ' item'
                         ELSE json_extract_string(props, '$.k') || ' items' END AS items_text
             FROM events
+        """,
+        "explode_tokens": """
+            WITH n AS (
+                SELECT lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                FROM documents),
+            t AS (
+                SELECT unnest(str_split(norm, ' ')) AS token
+                FROM n WHERE LENGTH(norm) > 0),
+            c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token)
+            SELECT token, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+            FROM c QUALIFY rnk <= 50
+        """,
+        "response_latency": """
+            WITH t AS (
+                SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id, ts, event_id,
+                       CASE event_type WHEN 'click' THEN 'user'
+                                       WHEN 'purchase' THEN 'assistant'
+                                       ELSE event_type END AS role
+                FROM events),
+            l AS (
+                SELECT conv_id, role,
+                       LAG(role) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS prev_role,
+                       (epoch_us(ts) - LAG(epoch_us(ts))
+                            OVER (PARTITION BY conv_id ORDER BY ts, event_id)) / 1e6 AS lat
+                FROM t)
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   COUNT(CASE WHEN role = 'assistant' AND prev_role = 'user' THEN 1 END) AS n_responses,
+                   ROUND(AVG(CASE WHEN role = 'assistant' AND prev_role = 'user' THEN lat END), 4) AS mean_response_s,
+                   ROUND(MAX(CASE WHEN role = 'assistant' AND prev_role = 'user' THEN lat END), 4) AS max_response_s
+            FROM l GROUP BY conv_id
         """,
         "token_quality": """
             WITH n AS (

@@ -61,6 +61,30 @@ def test_asof_matches_oracle(spark, frames, strict):
     )
 
 
+def test_asof_tolerance_nulls_stale_facts(spark, frames):
+    spine, facts = frames
+    got = asof_join(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value"],
+        fact_seq_col="fact_id",
+        tolerance_s=500.0,
+    ).toPandas()
+    want = reference_asof(spine, facts, "conv_id", "ts", ["value"], seq_col="fact_id")
+    age = (want["ts"] - want["ts_fact_asof"]).dt.total_seconds()
+    want.loc[age > 500.0, "value_asof"] = None
+    want.loc[age > 500.0, "ts_fact_asof"] = pd.NaT
+    got["value_asof"] = got["value_asof"].astype("float64")
+    want["value_asof"] = want["value_asof"].astype("float64")
+    assert_frames_match(got, want, keys=["conv_id", "turn_idx"], float_cols=["value_asof"])
+    # the tolerance actually bit somewhere
+    assert want["value_asof"].isna().sum() > reference_asof(
+        spine, facts, "conv_id", "ts", ["value"], seq_col="fact_id"
+    )["value_asof"].isna().sum()
+
+
 def test_asof_no_fact_is_null(spark, frames):
     spine, facts = frames
     facts_none = facts[facts["conv_id"] == "__nope__"]

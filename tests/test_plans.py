@@ -1,0 +1,105 @@
+"""Physical-plan quality gates — the .explain() audit, pinned.
+
+These tests fail if a regression sneaks in an extra shuffle/sort into
+the flagship pipeline, loses parquet pushdown, or turns a dimension
+join into a shuffle join. At 100 TB each of those is the difference
+between a job that runs and one that doesn't.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from turboxsl_spark.plans.featurespec import FeatureSpec, build_features
+from turboxsl_spark.sources.transcripts import TRANSCRIPT_SCHEMA, gen_transcripts_pdf
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tx(spark):
+    pdf = gen_transcripts_pdf(n_convs=30, seed=5, mega_frac=0.0)
+    return spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+
+
+def test_flagship_single_exchange_and_sort(spark, tx):
+    """Every window feature (position, lags, session, ffill, running)
+    must ride ONE hash exchange + ONE sort on (conv_id, ts, turn_idx)."""
+    out = build_features(tx, FeatureSpec())
+    plan = plan_of(out)
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_sort = len(re.findall(r"\bSort \[", plan))
+    assert n_exchange == 1, f"expected 1 exchange, got {n_exchange}:\n{plan[:4000]}"
+    assert n_sort == 1, f"expected 1 sort, got {n_sort}:\n{plan[:4000]}"
+
+
+def test_flagship_no_python_udf(spark, tx):
+    """The flagship hot path stays JVM-side: no Python/Arrow eval nodes."""
+    plan = plan_of(build_features(tx, FeatureSpec()))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_parquet_filter_pushdown(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") >= 45).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]" in plan
+    # column pruning: scan schema carries only the two referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey",
+        "l_quantity",
+    }, plan[:3000]
+
+
+def test_dimension_join_is_broadcast(spark):
+    import __spark_entry__ as m
+
+    df = m.q_join_revenue_by_nation(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # nation is tiny: no sort-merge join anywhere in this query
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_single_sort_no_theta_join(spark):
+    """The as-of join must be the union+window form: zero Join nodes,
+    one exchange, one sort — not a theta-join blowup."""
+    from turboxsl_spark.operators.asof import asof_join
+
+    spine = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("conv_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").cast("int").alias("turn_idx"),
+    )
+    facts = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("conv_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("value"),
+    )
+    out = asof_join(spine, facts, on="conv_id", ts_col="ts", value_cols=["value"])
+    plan = plan_of(out)
+    assert "Join" not in plan, plan[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Hash-groupBy dedup keeps map-side partial aggregation (two
+    HashAggregate levels around one exchange)."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_exact_dedup(spark, SF_DIR))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -38,6 +38,7 @@ def asof_join(
     suffix: str = "_asof",
     fact_ts_out: str | None = "ts_fact_asof",
     fact_seq_col: str | None = None,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Attach latest-preceding fact values to every spine row.
 
@@ -47,6 +48,10 @@ def asof_join(
 
     ``fact_seq_col`` (e.g. an event id) breaks ties among facts with
     identical timestamps deterministically: the highest wins.
+
+    ``tolerance_s`` bounds the lookback (pd.merge_asof-style): a fact
+    older than ``spine.ts - tolerance_s`` is treated as absent — stale
+    features become NULL instead of silently ancient.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
@@ -95,9 +100,19 @@ def asof_join(
             for c in value_cols
         ],
     )
+    if tolerance_s is not None:
+        fresh = F.unix_micros(F.col("_ff_ts").cast("timestamp")) >= (
+            F.unix_micros(F.col("_asof_ts").cast("timestamp"))
+            - F.lit(int(tolerance_s * 1_000_000))
+        )
+        val = lambda c: F.when(fresh, F.col(f"_ff_{c}"))
+        ts_val = F.when(fresh, F.col("_ff_ts"))
+    else:
+        val = lambda c: F.col(f"_ff_{c}")
+        ts_val = F.col("_ff_ts")
     out = filled.where(F.col("_side") == spine_rank).select(
         *[F.col(f"_s_{c}").alias(c) for c in spine_cols],
-        *[F.col(f"_ff_{c}").alias(f"{c}{suffix}") for c in value_cols],
-        *([F.col("_ff_ts").alias(fact_ts_out)] if fact_ts_out else []),
+        *[val(c).alias(f"{c}{suffix}") for c in value_cols],
+        *([ts_val.alias(fact_ts_out)] if fact_ts_out else []),
     )
     return out
