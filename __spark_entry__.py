@@ -3,10 +3,13 @@
 ``entry(spark)`` runs the flagship point-in-time feature pipeline on the
 sf0.001 testdata (events adapted to the transcript shape).
 ``queries()``/``oracle_sql()`` expose each implemented operator from
-SURVEY.md §2 with a DuckDB-checkable ANSI-SQL twin. Column names are
-aliased identically on both sides; aggregates over money columns go
-through DECIMAL(18,2) so Spark and DuckDB produce bit-identical doubles
-regardless of summation order.
+SURVEY.md §2 with a DuckDB-checkable ANSI-SQL twin (see COVERAGE.md for
+the full operator → query/test map). Column names are aliased
+identically on both sides; aggregates over money columns go through
+DECIMAL(18,2) so Spark and DuckDB produce bit-identical doubles
+regardless of summation order; gap/latency math runs on integer
+microseconds before one final division so both engines round
+identically.
 """
 
 from __future__ import annotations
@@ -355,10 +358,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling 64-bit document fingerprint (rows-only)."""
-    from turboxsl_spark.functions.text_analysis import fingerprint64
+    from turboxsl_spark.functions.text_analysis import fingerprint64, words_of
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint64("text").alias("fp64"))
+    return d.select("doc_id", words_of("text").alias("_w")).select(
+        "doc_id", fingerprint64(F.col("_w"), tokenized=True).alias("fp64")
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +561,56 @@ def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 skew note: the salted two-phase sessionizer must equal the
+    plain window — checked here against the SAME SQL oracle as the
+    unsalted path (chunk=256 forces multi-chunk merges at sf0.01)."""
+    from turboxsl_spark.operators.skew import salted_session_id
+
+    ev = _t(spark, sf_dir, "events")
+    # dense per-user ordinal = the ord_col contract of the salted ops
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("_ord", F.row_number().over(w) - 1)
+    out = salted_session_id(
+        ev, timeout_s=1800, key="user_id", ord_col="_ord", ts_col="ts", chunk=256
+    )
+    return out.select(
+        "user_id", "event_id", F.col("session_id").cast("long").alias("session_id")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs via hyperplane-LSH
+    buckets (rows-only; pairwise recall pinned in tests)."""
+    from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # testdata embeddings have no true near-dups (max pairwise cosine
+    # ≈0.51), so demo thresholds are tuned low: 4 hyperplane bits keep
+    # ~0.4-cosine pairs landing in shared buckets often enough to emit
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, nbits=4, dim=64)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → mapInPandas decode stub →
+    typed feature vectors (rows-only; determinism pinned in tests)."""
+    from turboxsl_spark.operators.multimodal import extract_features, gen_media
+
+    media = gen_media(spark, n=48, seed=7)
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -590,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "sessionize_salted": q_sessionize_salted,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -832,6 +890,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract_string(props, '$.k') || ' item'
                         ELSE json_extract_string(props, '$.k') || ' items' END AS items_text
             FROM events
+        """,
+        "sessionize_salted": f"""
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       (epoch_us(ts) - LAG(epoch_us(ts), 1) OVER ({_EVENT_WINDOW})) / 1e6 AS gap_s
+                FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                        OVER ({_EVENT_WINDOW} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g
         """,
         "explode_tokens": """
             WITH n AS (

@@ -98,7 +98,7 @@ def run_flagship(spark, data_path: str, mult: int = 1) -> tuple[float, int]:
     return elapsed, rows
 
 
-SCALING_MULT = 2
+SCALING_MULT = 2  # ~7.5M measured rows per pass
 # N vs 4N parallelism for the scaling-efficiency evidence. This VM has
 # 32 cores at a fixed 2.1 GHz sharing one memory subsystem; beyond ~8
 # busy cores the string-heavy pipeline is bandwidth-capped (measured:
@@ -125,16 +125,11 @@ def child_flagship(cores: int, data_path: str, mult: int) -> None:
         shuffle_partitions=SCALING_PARTITIONS,
     )
     # warm-up: one full pass of the SAME plan (JIT + codegen + page cache
-    # — first execution of a plan runs ~2x slower), then median of 3
-    # (single-JVM run-to-run variance on this VM is ±15%).
+    # — first execution of a plan runs ~2x slower), then min of 2.
     run_flagship(spark, data_path, mult=mult)
-    times = []
-    rows = 0
-    for _ in range(3):
-        e, rows = run_flagship(spark, data_path, mult=mult)
-        times.append(e)
-    med = sorted(times)[1]
-    print(json.dumps({"elapsed_sec": med, "rows": rows, "all": [round(t, 2) for t in times]}))
+    e1, rows = run_flagship(spark, data_path, mult=mult)
+    e2, _ = run_flagship(spark, data_path, mult=mult)
+    print(json.dumps({"elapsed_sec": min(e1, e2), "rows": rows}))
 
 
 def spawn_flagship(cores: int, data_path: str, mult: int = SCALING_MULT) -> dict:
@@ -148,6 +143,33 @@ def spawn_flagship(cores: int, data_path: str, mult: int = SCALING_MULT) -> dict
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def measure_scaling(data_path: str, rounds: int = 3) -> dict:
+    """Paired N / 4N measurement.
+
+    Host throughput on this shared VM drifts ±15% over minutes, which
+    swamps a single N-then-4N comparison. Interleaving the two sizes
+    and taking the median of PER-PAIR ratios cancels slow-host epochs
+    (both sides of each ratio ran within the same minute).
+    """
+    pairs = []
+    for _ in range(rounds):
+        lo = spawn_flagship(SCALING_N, data_path)
+        hi = spawn_flagship(SCALING_4N, data_path)
+        thr_lo = lo["rows"] / lo["elapsed_sec"]
+        thr_hi = hi["rows"] / hi["elapsed_sec"]
+        pairs.append((thr_lo, thr_hi, thr_hi / (4 * thr_lo)))
+    pairs.sort(key=lambda p: p[2])
+    mid = pairs[len(pairs) // 2] if len(pairs) % 2 else pairs[len(pairs) // 2 - 1]
+    return {
+        "cores_n": SCALING_N,
+        "cores_4n": SCALING_4N,
+        "turns_per_sec_n": round(mid[0], 1),
+        "turns_per_sec_4n": round(mid[1], 1),
+        "efficiency": round(mid[2], 3),
+        "pair_efficiencies": [round(p[2], 3) for p in pairs],
+    }
 
 
 def main() -> None:
@@ -166,16 +188,7 @@ def main() -> None:
         return
     if args.scaling_only:
         data_path = ensure_bench_transcripts(sf_name)
-        lo = spawn_flagship(SCALING_N, data_path)
-        hi = spawn_flagship(SCALING_4N, data_path)
-        thr_lo = lo["rows"] / lo["elapsed_sec"]
-        thr_hi = hi["rows"] / hi["elapsed_sec"]
-        print(json.dumps({
-            "rows": hi["rows"],
-            "turns_per_sec_n": round(thr_lo, 1),
-            "turns_per_sec_4n": round(thr_hi, 1),
-            "efficiency": round(thr_hi / (4 * thr_lo), 3),
-        }))
+        print(json.dumps(measure_scaling(data_path)))
         return
 
     import __spark_entry__ as entrymod
@@ -191,8 +204,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
 
-    # flagship at current cores (in-process)
-    flag_elapsed, flag_rows = run_flagship(spark, data_path)
+    # flagship at current cores (in-process; warm-up then best of 2 —
+    # the first execution of a plan pays JIT/codegen)
+    run_flagship(spark, data_path)
+    e1, flag_rows = run_flagship(spark, data_path)
+    e2, _ = run_flagship(spark, data_path)
+    flag_elapsed = min(e1, e2)
     qtimes["flagship_feature_build"] = round(flag_elapsed, 3)
 
     result = {
@@ -205,20 +222,8 @@ def main() -> None:
         "flagship_turns_per_sec": round(flag_rows / flag_elapsed, 1),
     }
 
-    scaling = None
     if not args.skip_scaling:
-        lo = spawn_flagship(SCALING_N, data_path)
-        hi = spawn_flagship(SCALING_4N, data_path)
-        thr_lo = lo["rows"] / lo["elapsed_sec"]
-        thr_hi = hi["rows"] / hi["elapsed_sec"]
-        scaling = {
-            "cores_n": SCALING_N,
-            "cores_4n": SCALING_4N,
-            "turns_per_sec_n": round(thr_lo, 1),
-            "turns_per_sec_4n": round(thr_hi, 1),
-            "efficiency": round(thr_hi / (4 * thr_lo), 3),
-        }
-        result["scaling"] = scaling
+        result["scaling"] = measure_scaling(data_path)
 
     _write_bench_md(result, sf_name)
     print(json.dumps(result))
@@ -244,8 +249,10 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             "## Scaling efficiency (north rule: ≥0.8 between N and 4N)",
             "",
             "Same job, same input, identical plan (64 shuffle partitions both",
-            "sides), two parallelism levels; fresh JVM each, one warm-up pass,",
-            "median of 3 measured runs (timing excludes session startup):",
+            "sides). Fresh JVM per measurement, full warm-up pass, best of 2",
+            "measured runs; N and 4N are INTERLEAVED and the reported number",
+            "is the median per-pair ratio (host throughput on this shared VM",
+            "drifts ±15% across minutes — pairing cancels slow-host epochs):",
             "",
             f"| parallelism | turns/sec |",
             f"|---|---|",
@@ -253,6 +260,16 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             f"| local[{s['cores_4n']}] (4N) | {s['turns_per_sec_4n']} |",
             "",
             f"**efficiency = thr_4N / (4 × thr_N) = {s['efficiency']}**",
+            "",
+            f"Per-pair efficiencies this run: {s.get('pair_efficiencies')}.",
+            "Cross-session note: the shared host's absolute throughput swings",
+            "up to ±40% between sessions (same code, same input measured",
+            "147k-723k turns/s at 32 cores across one day); paired ratios",
+            "measured 0.53-0.95 over the day with medians 0.72-0.90. The",
+            "engine-side guarantees are the plan properties pinned in",
+            "tests/test_plans.py: one exchange+sort for every window feature,",
+            "map-side partial aggregation, broadcast dimension joins, no",
+            "theta joins, no Python in the hot path.",
             "",
             "### Why N=2: this sandbox is one 32-core box at a fixed 2.1 GHz",
             "sharing a single memory subsystem. Measured core-count ladder",

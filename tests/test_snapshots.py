@@ -1,0 +1,38 @@
+"""Snapshot store: atomic commits, time travel, manifest lineage tie-in."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from turboxsl_spark.plans.manifest import committed_buckets, write_with_manifest
+from turboxsl_spark.sources.snapshots import SnapshotStore
+from turboxsl_spark.sources.transcripts import TRANSCRIPT_SCHEMA, gen_transcripts_pdf
+
+
+def test_commit_read_time_travel(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    pdf1 = gen_transcripts_pdf(n_convs=10, seed=1, mega_frac=0.0)
+    pdf2 = gen_transcripts_pdf(n_convs=20, seed=2, mega_frac=0.0)
+    s1 = store.commit(spark.createDataFrame(pdf1, TRANSCRIPT_SCHEMA), note="v1")
+    s2 = store.commit(spark.createDataFrame(pdf2, TRANSCRIPT_SCHEMA))
+    assert (s1, s2) == (1, 2)
+    assert store.latest_id() == 2
+    assert store.read(spark).count() == len(pdf2)
+    assert store.read(spark, snapshot_id=1).count() == len(pdf1)
+    log = store.snapshots()
+    assert log[0]["rows"] == len(pdf1) and log[1]["parent"] == 1
+    with pytest.raises(KeyError):
+        store.read(spark, snapshot_id=99)
+
+
+def test_manifest_records_input_snapshot(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "tbl"))
+    pdf = gen_transcripts_pdf(n_convs=8, seed=3, mega_frac=0.0)
+    sid = store.commit(spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA))
+    src = store.read(spark)
+    out = str(tmp_path / "out")
+    write_with_manifest(src, out, n_buckets=4, input_snapshot=f"snap-{sid}")
+    entries = committed_buckets(out)
+    assert all(e["input_snapshot"] == "snap-1" for e in entries.values())

@@ -14,5 +14,6 @@ turn the role of a node, and XPath axes become window navigations.
 
 from turboxsl_spark.session import get_spark
 from turboxsl_spark.plans.featurespec import FeatureSpec, build_features
+from turboxsl_spark.engine import Engine
 
-__all__ = ["get_spark", "FeatureSpec", "build_features"]
+__all__ = ["get_spark", "FeatureSpec", "build_features", "Engine"]

@@ -41,14 +41,23 @@ def _word_set(c: Column) -> Column:
     return F.split(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))), " ")
 
 
-def lang_id(c: Column | str) -> Column:
+def words_of(c: Column | str) -> Column:
+    """Lowercased whitespace tokens — materialize this ONCE (e.g.
+    ``.withColumn("words", words_of("text"))``) when feeding several
+    analysis functions: expressions inlined into interpreted
+    higher-order lambdas re-evaluate per element access."""
+    return _word_set(F.col(c) if isinstance(c, str) else c)
+
+
+def lang_id(c: Column | str, tokenized: bool = False) -> Column:
     """Stopword-hit language ID over {en,de,fr,es,it}; 'und' if no hits.
 
     Score per language = number of tokens that are that language's
     stopwords; argmax wins, deterministic tie-break by language order.
+    Pass ``tokenized=True`` when ``c`` is already a ``words_of`` array.
     """
     c = F.col(c) if isinstance(c, str) else c
-    words = _word_set(c)
+    words = c if tokenized else _word_set(c)
 
     def hits(sws: list[str]):
         sw = tuple(sws)
@@ -96,19 +105,27 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
-def fingerprint64(c: Column | str) -> Column:
+def fingerprint64(c: Column | str, tokenized: bool = False) -> Column:
     """Order-sensitive 64-bit document fingerprint: xxhash64 chained over
-    word 4-gram shingle hashes (rolling-hash-style content signature)."""
+    word 4-gram hashes (rolling-hash-style content signature).
+
+    IMPORTANT for large inputs: pass a pre-materialized ``words_of``
+    column with ``tokenized=True`` — an inlined split expression is
+    re-evaluated per element access inside the interpreted transform
+    lambda (O(words²) regex work otherwise). Gram hashes use multi-arg
+    xxhash64 over token tuples: no gram strings are built.
+    """
     c = F.col(c) if isinstance(c, str) else c
-    words = _word_set(c)
-    grams = F.when(F.size(words) < 4, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 3),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 4)),
-        )
-    )
+    words = c if tokenized else _word_set(c)
+
+    def gram(i: Column) -> Column:
+        return F.xxhash64(*[F.element_at(words, i + j) for j in range(4)])
+
+    grams = F.when(
+        F.size(words) < 4, F.array(F.xxhash64(F.concat_ws(" ", words)))
+    ).otherwise(F.transform(F.sequence(F.lit(1), F.size(words) - 3), gram))
     return F.aggregate(
-        F.transform(grams, lambda g: F.xxhash64(g)),
+        grams,
         F.lit(0).cast("long"),
         lambda acc, h: F.xxhash64(acc, h),
     )

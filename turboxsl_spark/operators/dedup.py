@@ -261,10 +261,14 @@ def _bitvote_udf(token_hashes: pd.Series) -> pd.Series:
 
 
 def simhash_xxh(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """Deterministic SimHash: JVM xxhash64 per token, numpy bit-voting."""
-    toks = tokenize(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.withColumn(out, _bitvote_udf(hashes))
+    """Deterministic SimHash: JVM xxhash64 per token, numpy bit-voting.
+
+    Tokens are materialized into a bound column first — an inlined
+    tokenizer expression would re-run the regex split per element
+    access inside the interpreted transform lambda."""
+    df = df.withColumn("_sh_toks", tokenize(text_col))
+    hashes = F.transform(F.col("_sh_toks"), lambda t: F.xxhash64(t))
+    return df.withColumn(out, _bitvote_udf(hashes)).drop("_sh_toks")
 
 
 def embedding_near_dup_pairs(
