@@ -611,6 +611,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ltr:encode_base64 — a stub in the reference
+    (/root/reference/src/functions.c:908-912 returns a constant);
+    real here and oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    # Spark's base64 MIME-chunks with \r\n every 76 chars; strip to RFC 4648
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "\r\n", "")
+    return d.select("doc_id", b64.alias("b64"))
+
+
+def q_url_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ltr:url_encode / ltr:str_escape('js') as Arrow-vectorized
+    UDFs (rows-only: DuckDB lacks percent-encoding; semantics pinned by
+    tests/test_coercions.py against python urllib)."""
+    from turboxsl_spark.functions.strings import str_escape_js_udf, url_encode_udf
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        url_encode_udf(F.col("text")).alias("url_enc"),
+        str_escape_js_udf(F.col("text")).alias("js_esc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_pricing": q_agg_pricing,
@@ -648,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_salted": q_sessionize_salted,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "base64": q_base64,
+        "url_escape": q_url_escape,
     }
 
 
@@ -890,6 +916,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract_string(props, '$.k') || ' item'
                         ELSE json_extract_string(props, '$.k') || ' items' END AS items_text
             FROM events
+        """,
+        "base64": """
+            SELECT doc_id, to_base64(text::BLOB) AS b64 FROM documents
         """,
         "sessionize_salted": f"""
             WITH g AS (

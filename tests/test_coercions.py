@@ -97,3 +97,26 @@ def test_avt_template_braces(spark):
 def test_avt_missing_slot_raises():
     with pytest.raises(KeyError):
         avt_template("{missing}", present=F.lit(1))
+
+
+def test_url_encode_matches_urllib(spark):
+    import urllib.parse
+
+    from turboxsl_spark.functions.strings import url_encode_udf
+
+    data = ["a b&c/d?e=f", "héllo 好", "plain", ""]
+    got = _vals(spark, url_encode_udf(F.col("x")), data, intype="string")
+    want = [urllib.parse.quote(s, safe="-_.~") for s in data]
+    assert got == want
+
+
+def test_js_escape(spark):
+    from turboxsl_spark.functions.strings import str_escape_js_udf
+
+    got = _vals(
+        spark,
+        str_escape_js_udf(F.col("x")),
+        ['say "hi"\n', "back\\slash", "it's"],
+        intype="string",
+    )
+    assert got == ['say \\"hi\\"\\n', "back\\\\slash", "it\\'s"]
