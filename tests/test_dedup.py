@@ -108,6 +108,34 @@ def test_minhash_dedup_end_to_end(spark, docs):
     assert strict == [1, 4, 5, 6]
 
 
+def test_minhash_dedup_chain_components(spark):
+    """A→B→C→D chain (adjacent pairs similar, ends dissimilar) must
+    collapse to ONE representative via pointer-jumping, not per-pair."""
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+    def variant(k):  # cumulatively replace 3-word blocks
+        w = list(words)
+        for j in range(3 * k):
+            w[j] = f"sub{j}"
+        return " ".join(w)
+
+    rows = [(i + 1, variant(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # chain premise: adjacent pairs similar, ends NOT directly similar
+    probe = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    j = ngram_jaccard(probe, df).toPandas().set_index("id_b")["jaccard"]
+    assert j[2] >= 0.55 and j[3] < 0.55 and j[4] < 0.55
+    kept = (
+        minhash_dedup(df, threshold=0.55, num_hashes=64, bands=32)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert kept == [1]
+
+
 def test_simhash_deterministic_and_discriminative(spark, docs):
     s1 = simhash_xxh(docs).select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]
     s2 = simhash_xxh(docs).select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]

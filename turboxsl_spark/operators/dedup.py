@@ -212,6 +212,30 @@ def ngram_jaccard(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def duplicate_components(dupes: DataFrame, hops: int = 3) -> DataFrame:
+    """Collapse verified duplicate PAIRS into connected components by
+    pointer-jumping: rep(x) ← rep(rep(x)), ``hops`` times — chains up
+    to 2^hops collapse to their min-id representative. Each hop is one
+    self-join on a table of (node, rep) longs; no driver iteration on
+    data, no convergence action.
+
+    Returns (node, rep) for every node that belongs to a component,
+    rep < node for non-representatives.
+    """
+    edges = dupes.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    und = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    rep = und.groupBy("a").agg(F.min("b").alias("_mn")).select(
+        F.col("a").alias("node"), F.least("_mn", "a").alias("rep")
+    )
+    for _ in range(hops):
+        r2 = rep.select(F.col("node").alias("_n2"), F.col("rep").alias("_r2"))
+        rep = (
+            rep.join(r2, rep.rep == r2._n2, "left")
+            .select("node", F.least(F.col("rep"), F.col("_r2")).alias("rep"))
+        )
+    return rep
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -220,23 +244,21 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    cc_hops: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: sign → LSH buckets → Jaccard verify →
-    connected pairs collapsed to min-id representative (1 union step —
-    for chains longer than 1 hop, iterate; near-dup clusters in web
-    corpora are overwhelmingly star-shaped around a canonical doc)."""
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n)
+    connected components (pointer-jumping, chains ≤ 2^cc_hops) → keep
+    the min-id representative of each component."""
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, id_col=id_col)
     pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands, num_hashes // bands)
     dupes = ngram_jaccard(pairs, df, id_col, text_col).where(
         F.col("jaccard") >= threshold
     )
-    # min representative per duplicate member
-    rep = dupes.groupBy("id_b").agg(F.min("id_a").alias("_rep"))
-    return (
-        df.join(rep.withColumnRenamed("id_b", id_col), id_col, "left")
-        .where(F.col("_rep").isNull())
-        .drop("_rep")
+    comp = duplicate_components(dupes, hops=cc_hops)
+    losers = comp.where(F.col("rep") < F.col("node")).select(
+        F.col("node").alias(id_col)
     )
+    return df.join(losers, id_col, "left_anti")
 
 
 _SIMHASH_SCHEMA = T.LongType()
