@@ -214,7 +214,7 @@ def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         norm.alias("text_norm"),
-        F.length(norm).alias("norm_len"),
+        F.length(norm).cast("long").alias("norm_len"),
         xpath_translate(norm, "aeiou", "AEIO").alias("translated"),
         xpath_substring(norm, 1, 20).alias("head20"),
         substring_before(norm, " ").alias("first_word"),
@@ -840,7 +840,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM g)
             SELECT conv_id, COUNT(*) AS n_turns,
                    CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
-                   SUM(LENGTH(text)) AS total_chars,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
                    COUNT(tool) AS n_tool_turns
             FROM s GROUP BY conv_id
         """,
@@ -881,15 +881,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot": """
             SELECT o_orderpriority,
-                   SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-                   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
             FROM orders GROUP BY o_orderpriority
         """,
         "json_extract": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -898,7 +898,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    COUNT(*) AS n_lines,
                    COUNT(p_brand) AS n_matched,
-                   SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS n_null
+                   CAST(SUM(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
             FROM lineitem
             LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 40) p
                    ON l_partkey = p_partkey

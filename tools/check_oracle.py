@@ -27,10 +27,29 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # exact repr — the driver's gate hashes exact values, so the
+        # local replica must be bit-strict too (6g hid ULP-level bugs)
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+def _duck_arrow_types(rel):
+    """Column → arrow type for the DuckDB result (driver hashes include
+    types: DuckDB SUM(int)=HUGEINT vs Spark BIGINT was a round-1 fail)."""
+    t = rel.fetch_arrow_table()
+    return {f.name: str(f.type) for f in t.schema}, t
+
+
+def _spark_arrow_types(sdf):
+    import pyarrow as pa
+
+    batches = sdf._collect_as_arrow() if hasattr(sdf, "_collect_as_arrow") else None
+    if batches:
+        schema = pa.Table.from_batches(batches).schema
+        return {f.name: str(f.type) for f in schema}
+    return {}
 
 
 def _norm_rows(cols, rows):
@@ -72,6 +91,16 @@ def main(names: list[str] | None = None) -> int:
         if sc != dc:
             print(f"{name}: COLUMN MISMATCH spark={sc} duck={dc}")
             ok = False
+        # dtype parity (HUGEINT vs BIGINT etc. fails the driver's hash)
+        dtypes, _ = _duck_arrow_types(con.sql(oracles[name]))
+        stypes = _spark_arrow_types(sdf)
+        for col in set(dtypes) & set(stypes):
+            a, b = stypes[col], dtypes[col]
+            if a != b and not (
+                a.startswith("timestamp") and b.startswith("timestamp")
+            ):
+                print(f"{name}: DTYPE MISMATCH {col}: spark={a} duck={b}")
+                ok = False
         if len(sn) != len(dn):
             print(f"{name}: ROWCOUNT MISMATCH spark={len(sn)} duck={len(dn)}")
             ok = False

@@ -26,6 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -67,13 +68,26 @@ def asof_join(
         if fact_seq_col
         else F.lit(0).cast("long")
     )
+    # The matched fact travels as ONE struct (ts + all value columns) so
+    # forward-fill attaches the latest preceding fact row ATOMICALLY.
+    # Filling each value column independently would, whenever the latest
+    # fact holds a NULL in one column, silently pull that column from an
+    # OLDER fact — mixing columns across fact rows and breaking
+    # point-in-time semantics for nullable facts (pinned by
+    # tests/test_asof.py::test_null_fact_values_fill_atomically).
+    fact_struct_type = T.StructType(
+        [T.StructField("_fts", facts.schema[ts_col].dataType)]
+        + [T.StructField(f"_v_{c}", facts.schema[c].dataType) for c in value_cols]
+    )
     f_side = facts.select(
         *[F.col(k) for k in keys],
         F.col(ts_col).alias("_asof_ts"),
         F.lit(fact_rank).alias("_side"),
         seq.alias("_seq"),
-        F.col(ts_col).alias("_fact_ts"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias("_fts"),
+            *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        ).alias("_fact"),
         *[F.lit(None).cast(spine.schema[c].dataType).alias(f"_s_{c}") for c in spine_cols],
     )
     s_side = spine.select(
@@ -81,8 +95,7 @@ def asof_join(
         F.col(ts_col).alias("_asof_ts"),
         F.lit(spine_rank).alias("_side"),
         F.lit(0).cast("long").alias("_seq"),
-        F.lit(None).cast(facts.schema[ts_col].dataType).alias("_fact_ts"),
-        *[F.lit(None).cast(facts.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(fact_struct_type).alias("_fact"),
         *[F.col(c).alias(f"_s_{c}") for c in spine_cols],
     )
 
@@ -93,23 +106,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        F.last("_fact_ts", ignorenulls=True).over(w).alias("_ff_ts"),
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_ff_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_fact", ignorenulls=True).over(w).alias("_ff")
     )
+    ff_ts = F.col("_ff._fts")
     if tolerance_s is not None:
-        fresh = F.unix_micros(F.col("_ff_ts").cast("timestamp")) >= (
+        # freshness judged on the matched fact's own timestamp — the
+        # same struct the values come from, so a stale fact nulls out
+        # values AND timestamp together
+        fresh = F.unix_micros(ff_ts.cast("timestamp")) >= (
             F.unix_micros(F.col("_asof_ts").cast("timestamp"))
             - F.lit(int(tolerance_s * 1_000_000))
         )
-        val = lambda c: F.when(fresh, F.col(f"_ff_{c}"))
-        ts_val = F.when(fresh, F.col("_ff_ts"))
+        val = lambda c: F.when(fresh, F.col(f"_ff._v_{c}"))
+        ts_val = F.when(fresh, ff_ts)
     else:
-        val = lambda c: F.col(f"_ff_{c}")
-        ts_val = F.col("_ff_ts")
+        val = lambda c: F.col(f"_ff._v_{c}")
+        ts_val = ff_ts
     out = filled.where(F.col("_side") == spine_rank).select(
         *[F.col(f"_s_{c}").alias(c) for c in spine_cols],
         *[val(c).alias(f"{c}{suffix}") for c in value_cols],

@@ -27,11 +27,15 @@ RESPONSE_STATS_SCHEMA = (
 
 def _response_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-    # microsecond ints stay exact in float64 (ns epochs exceed 2^53)
-    ts = pdf["ts"].astype("datetime64[us]").astype("int64") / 1e6
+    # difference integer microseconds FIRST, divide ONCE — the repo-wide
+    # gap/latency discipline (module docstring of __spark_entry__): the
+    # int64 subtraction is exact, so Spark and the SQL oracle round
+    # identically. (Dividing each timestamp to float seconds before
+    # differencing loses ULPs on large epochs and failed hash_match.)
+    us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
     role = pdf["role"].to_numpy()
     # latency of each assistant turn that directly follows a user turn
-    lat = ts.to_numpy()[1:] - ts.to_numpy()[:-1]
+    lat = (us[1:] - us[:-1]) / 1e6
     mask = (role[1:] == "assistant") & (role[:-1] == "user")
     resp = lat[mask]
     return pd.DataFrame(
