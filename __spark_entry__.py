@@ -173,6 +173,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "fact_value_asof")
 
 
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 skew note applied to the CORE operator: time-bucket salted
+    two-phase as-of join (1-day chunks → ~30 buckets per user over the
+    30-day event span) checked against the SAME oracle as asof_join —
+    salt-invariance is the correctness contract."""
+    from turboxsl_spark.operators.asof import asof_join_salted
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("fact_id"),
+        F.col("value").alias("fact_value"),
+    )
+    spine = ev.select("user_id", "event_id", "ts")
+    out = asof_join_salted(
+        spine,
+        facts,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["fact_value"],
+        strict=True,
+        fact_seq_col="fact_id",
+        fact_ts_out=None,
+        chunk_s=86400.0,
+    )
+    return out.select("user_id", "event_id", "fact_value_asof")
+
+
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 XPath union — concatenation, NO dedup (unionAll semantics)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -187,14 +214,18 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 xsl:sort: multi-key (text asc case-insensitive, number desc),
-    exposed as a deterministic global rank."""
+    exposed as a deterministic global rank — computed DISTRIBUTED via
+    range-partition + local row_number + broadcast offsets (a
+    no-partitionBy window would collapse to one task at scale)."""
+    from turboxsl_spark.operators.rank import global_rank
+
     p = _t(spark, sf_dir, "part")
-    w = W.orderBy(
-        F.lower(F.col("p_type")).asc(), F.col("p_retailprice").desc(), F.col("p_partkey").asc()
-    )
-    return p.select(
-        "p_partkey", F.row_number().over(w).cast("long").alias("sort_rank")
-    )
+    order = [
+        F.lower(F.col("p_type")).asc(),
+        F.col("p_retailprice").desc(),
+        F.col("p_partkey").asc(),
+    ]
+    return global_rank(p, order, out="sort_rank").select("p_partkey", "sort_rank")
 
 
 def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +533,66 @@ def q_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_current_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 current() correlation (ref src/functions.c:125-133): events
+    whose value exceeds their OWN user's max purchase value — a
+    correlated comparison row-vs-group-scalar, computed as one
+    hash-aggregate + broadcast join (no window sort, no theta join)."""
+    from turboxsl_spark.operators.correlate import with_current
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_current(
+        ev,
+        "user_id",
+        {
+            "max_purchase": F.max(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+            )
+        },
+    )
+    return out.where(F.col("value") > F.col("max_purchase")).select(
+        "user_id", "event_id", "value", "max_purchase"
+    )
+
+
+def q_memo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ltr:url_code/veristat as a precomputed broadcast memo join
+    (ref src/functions.c:919-1059, hottest fns per the :1345-1392 call
+    profile): key→value attached JVM-side, misses → '' default, never
+    a per-row external call or Python UDF (plan-asserted)."""
+    from turboxsl_spark.functions.memo import memo_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    codes = {
+        "click": "/c",
+        "view": "/v",
+        "purchase": "/buy",
+        "signup": "/join",
+        # 'error' intentionally absent → default path exercised
+    }
+    out = memo_lookup(ev, codes, on="event_type", out="url_code", default="")
+    return out.select("event_id", "event_type", "url_code")
+
+
+def q_substring_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 XPath substring with FRACTIONAL/no-length args (ref
+    src/functions.c:184-222): round(x)=floor(x+0.5) position windows.
+    The oracle hardcodes the resolved integer windows, so the rounding
+    logic itself is what's under test."""
+    from turboxsl_spark.functions.strings import normalize_space, xpath_substring
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_space(F.col("text"))
+    return d.select(
+        "doc_id",
+        xpath_substring(norm, 1.5, 2.6).alias("mid"),        # = substring(s,2,3)
+        xpath_substring(norm, -1.2, 4.8).alias("head"),      # p∈[-1,4) → chars 1..3
+        xpath_substring(norm, 3.7).alias("tail"),            # = substring(s,4)
+        xpath_substring(norm, float("nan"), 3).alias("nan_empty"),
+        xpath_substring(norm, -42, float("inf")).alias("whole"),
+    )
+
+
 def q_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 format-number pattern subset (rows-only: no DecimalFormat
     twin in DuckDB; semantics pinned by tests/test_functions_misc.py)."""
@@ -527,12 +618,13 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 50)
-        .select("token", "n", F.col("rnk").cast("long").alias("rnk"))
-    )
+    # top-k via TakeOrderedAndProject (per-partition top-k + tiny driver
+    # merge), NOT a no-partition window over the full token vocabulary —
+    # the vocab is unbounded at 100 TB and would land in one task
+    from turboxsl_spark.operators.rank import global_topk
+
+    order = [F.col("n").desc(), F.col("token").asc()]
+    return global_topk(counts, order, k=50, out="rnk").select("token", "n", "rnk")
 
 
 def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,9 +678,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     # testdata embeddings have no true near-dups (max pairwise cosine
-    # ≈0.51), so demo thresholds are tuned low: 4 hyperplane bits keep
-    # ~0.4-cosine pairs landing in shared buckets often enough to emit
-    pairs = embedding_near_dup_pairs(emb, threshold=0.4, nbits=4, dim=64)
+    # ≈0.51), so the demo threshold is tuned low; the BANDED signature
+    # (16 bits, 4 bands of 4) keeps recall for moderate-cosine pairs
+    # without the hot-bucket blowup of a coarse full-signature bucket
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, nbits=16, bands=4, dim=64)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("id_a", "id_b")
@@ -645,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "forward_fill": q_forward_fill,
         "asof_join": q_asof_join,
+        "asof_salted": q_asof_salted,
         "union_all": q_union_all,
         "sort_multikey": q_sort_multikey,
         "string_ops": q_string_ops,
@@ -662,6 +756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "key_lookup_null": q_key_lookup_null,
         "localize": q_localize,
+        "current_corr": q_current_corr,
+        "memo_lookup": q_memo_lookup,
+        "substring_frac": q_substring_frac,
         "format_number": q_format_number,
         "explode_tokens": q_explode_tokens,
         "response_latency": q_response_latency,
@@ -681,6 +778,14 @@ _EVENT_WINDOW = "PARTITION BY user_id ORDER BY ts, event_id"
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # salt-invariance contract: the salted as-of is checked against the
+    # IDENTICAL SQL as the plain operator
+    d["asof_salted"] = d["asof_join"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -919,6 +1024,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "base64": """
             SELECT doc_id, to_base64(text::BLOB) AS b64 FROM documents
+        """,
+        "current_corr": """
+            SELECT e.user_id, e.event_id, e.value, g.max_purchase
+            FROM events e
+            JOIN (SELECT user_id,
+                         MAX(CASE WHEN event_type = 'purchase' THEN value END)
+                             AS max_purchase
+                  FROM events GROUP BY user_id) g USING (user_id)
+            WHERE e.value > g.max_purchase
+        """,
+        "memo_lookup": """
+            SELECT event_id, event_type,
+                   CASE event_type WHEN 'click' THEN '/c'
+                                   WHEN 'view' THEN '/v'
+                                   WHEN 'purchase' THEN '/buy'
+                                   WHEN 'signup' THEN '/join'
+                                   ELSE '' END AS url_code
+            FROM events
+        """,
+        "substring_frac": """
+            WITH n AS (
+                SELECT doc_id, TRIM(regexp_replace(text, '\\s+', ' ', 'g')) AS s
+                FROM documents)
+            SELECT doc_id,
+                   substring(s, 2, 3) AS mid,
+                   substring(s, 1, 3) AS head,
+                   substring(s, 4) AS tail,
+                   '' AS nan_empty,
+                   s AS whole
+            FROM n
         """,
         "sessionize_salted": f"""
             WITH g AS (

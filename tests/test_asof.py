@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from tests.conftest import assert_frames_match
-from turboxsl_spark.operators.asof import asof_join
+from turboxsl_spark.operators.asof import asof_join, asof_join_salted
 from turboxsl_spark.reference_impl import reference_asof
 
 
@@ -83,6 +83,96 @@ def test_asof_tolerance_nulls_stale_facts(spark, frames):
     assert want["value_asof"].isna().sum() > reference_asof(
         spine, facts, "conv_id", "ts", ["value"], seq_col="fact_id"
     )["value_asof"].isna().sum()
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("chunk_s", [500.0, 137.0])
+def test_asof_salted_matches_plain(spark, frames, strict, chunk_s):
+    """Salt-invariance: the time-bucketed two-phase as-of must equal the
+    plain single-window form for ANY chunk size (fixture spans 10,000 s
+    → 20-70 buckets per key, so carries genuinely cross chunks)."""
+    spine, facts = frames
+    kw = dict(
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        strict=strict,
+        fact_seq_col="fact_id",
+    )
+    plain = asof_join(
+        spark.createDataFrame(spine), spark.createDataFrame(facts), **kw
+    ).toPandas()
+    salted = asof_join_salted(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        chunk_s=chunk_s,
+        **kw,
+    ).toPandas()
+    for d in (plain, salted):
+        d["value_asof"] = d["value_asof"].astype("float64")
+    assert_frames_match(
+        salted, plain, keys=["conv_id", "turn_idx"], float_cols=["value_asof"]
+    )
+
+
+def test_asof_salted_with_nulls_and_tolerance(spark, frames):
+    """Salted path honors atomic NULL fill + tolerance like the plain."""
+    spine, facts = frames
+    facts = facts.copy()
+    rng = np.random.default_rng(13)
+    facts.loc[rng.random(len(facts)) < 0.4, "value"] = None
+    kw = dict(
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        fact_seq_col="fact_id",
+        tolerance_s=700.0,
+    )
+    plain = asof_join(
+        spark.createDataFrame(spine), spark.createDataFrame(facts), **kw
+    ).toPandas()
+    salted = asof_join_salted(
+        spark.createDataFrame(spine), spark.createDataFrame(facts), chunk_s=300.0, **kw
+    ).toPandas()
+    for d in (plain, salted):
+        d["value_asof"] = d["value_asof"].astype("float64")
+    assert_frames_match(
+        salted, plain, keys=["conv_id", "turn_idx"], float_cols=["value_asof"]
+    )
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_null_fact_values_fill_atomically(spark, frames, strict):
+    """A NULL in one value column of the LATEST fact must surface as
+    NULL — not silently backfill from an OLDER fact (the matched fact
+    row is attached whole). Regression for the per-column fill bug."""
+    spine, facts = frames
+    facts = facts.copy()
+    # knock out ~40% of values / states independently so the latest
+    # fact frequently has a NULL in exactly one of the two columns
+    rng = np.random.default_rng(11)
+    facts.loc[rng.random(len(facts)) < 0.4, "value"] = None
+    facts.loc[rng.random(len(facts)) < 0.4, "state"] = None
+    got = asof_join(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        strict=strict,
+        fact_seq_col="fact_id",
+    ).toPandas()
+    want = reference_asof(
+        spine, facts, "conv_id", "ts", ["value", "state"], strict=strict, seq_col="fact_id"
+    )
+    got["value_asof"] = got["value_asof"].astype("float64")
+    want["value_asof"] = want["value_asof"].astype("float64")
+    assert_frames_match(
+        got, want, keys=["conv_id", "turn_idx"], float_cols=["value_asof"]
+    )
+    # the fixture actually exercises the failure mode: some matched
+    # fact has a NULL value while an older same-key fact has a non-NULL
+    assert want["value_asof"].isna().sum() > 0
 
 
 def test_asof_no_fact_is_null(spark, frames):

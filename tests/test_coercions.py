@@ -41,6 +41,32 @@ def test_mod_truncates_to_long(spark):
     assert got == [1, -1, 1]  # C % semantics on longs
 
 
+def test_round_floor_ceiling_nonfinite_pass_through(spark):
+    """NaN/±inf propagate (XPath 1.0 / C floor semantics) instead of
+    Spark's raw long-cast artifacts (NaN→0, inf→Long.MAX)."""
+    from turboxsl_spark.functions.numeric import xpath_ceiling, xpath_floor
+
+    inf = float("inf")
+    data = [float("nan"), inf, -inf, 1e300, -1e300]
+    for fn in (xpath_round, xpath_floor, xpath_ceiling):
+        got = _vals(spark, fn(F.col("x")), data)
+        assert math.isnan(got[0]), fn.__name__
+        assert got[1] == inf and got[2] == -inf, fn.__name__
+        # |x| >= 2^53 is already integral: unchanged, no long overflow
+        assert got[3] == 1e300 and got[4] == -1e300, fn.__name__
+
+
+def test_mod_edge_operands_yield_null_not_crash(spark):
+    """Zero divisor / NaN / out-of-long-range operands → NULL under
+    ANSI mode (not REMAINDER_BY_ZERO / CAST_OVERFLOW aborts)."""
+    df = spark.createDataFrame(
+        [(7.0, 0.0), (float("nan"), 3.0), (7.0, float("nan")), (1e300, 3.0), (7.0, 3.0)],
+        "l double, r double",
+    )
+    got = [r[0] for r in df.select(xpath_mod("l", "r").alias("m")).collect()]
+    assert got == [None, None, None, None, 1]
+
+
 def test_number_coercion_nan(spark):
     got = _vals(
         spark, xpath_number(F.col("x")), ["", "abc", " 4.5 ", "7", None], intype="string"
@@ -78,6 +104,28 @@ def test_translate_deletes_unmatched(spark):
 def test_substring_one_based_codepoints(spark):
     got = _vals(spark, xpath_substring(F.col("x"), 2, 3), ["héllo好"], intype="string")
     assert got == ["éll"]
+
+
+def test_substring_fractional_xpath_spec(spark):
+    """The XPath 1.0 spec's own substring edge cases (§4.2), evaluated
+    with round(x)=floor(x+0.5) double semantics (ref functions.c:184-222)."""
+    inf = float("inf")
+    nan = float("nan")
+    df = spark.createDataFrame([("12345",)], "s string")
+    s = F.col("s")
+    cases = [
+        (xpath_substring(s, 1.5, 2.6), "234"),
+        (xpath_substring(s, 0.0, 3), "12"),
+        (xpath_substring(s, nan, 3), ""),
+        (xpath_substring(s, 1, nan), ""),
+        (xpath_substring(s, -42, inf), "12345"),
+        (xpath_substring(s, -inf, inf), ""),
+        (xpath_substring(s, 3.7), "45"),
+        (xpath_substring(s, 99.0), ""),
+    ]
+    got = df.select(*[c.alias(f"c{i}") for i, (c, _) in enumerate(cases)]).collect()[0]
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
 
 
 def test_substring_before_after(spark):

@@ -136,6 +136,50 @@ def test_minhash_dedup_chain_components(spark):
     assert kept == [1]
 
 
+def test_components_long_shuffled_chain(spark):
+    """A 20-node chain with SHUFFLED (non-monotone) ids must collapse to
+    one component labeled with the global min. Pure pointer-jumping
+    from the min-neighbor init stalls at 'valleys' (e.g. 5–3, 3–8, 8–1
+    fixpoints to {3,5},{1,8}); the label-prop + jump loop must not."""
+    from turboxsl_spark.operators.dedup import duplicate_components
+
+    import random
+
+    rng = random.Random(3)
+    ids = list(range(100, 120))
+    rng.shuffle(ids)  # chain order is unrelated to id order
+    pairs = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rep = duplicate_components(df).toPandas()
+    assert sorted(rep["node"]) == sorted(ids)
+    assert set(rep["rep"]) == {min(ids)}
+
+
+def test_components_valley_graph(spark):
+    from turboxsl_spark.operators.dedup import duplicate_components
+
+    df = spark.createDataFrame([(5, 3), (3, 8), (8, 1)], "id_a long, id_b long")
+    rep = duplicate_components(df).toPandas().set_index("node")["rep"]
+    assert set(rep) == {1} and sorted(rep.index) == [1, 3, 5, 8]
+
+
+def test_empty_and_null_text_hit_sentinel(spark):
+    """Empty/whitespace-only AND NULL texts all produce the max-long
+    sentinel signature (no shingles at all), collapsing together."""
+    from turboxsl_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real content here")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, num_hashes=8).toPandas().set_index("doc_id")["minhash"]
+    sentinel = [(1 << 63) - 1] * 8
+    assert list(sig[1]) == sentinel
+    assert list(sig[2]) == sentinel
+    assert list(sig[3]) == sentinel
+    assert list(sig[4]) != sentinel
+
+
 def test_simhash_deterministic_and_discriminative(spark, docs):
     s1 = simhash_xxh(docs).select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]
     s2 = simhash_xxh(docs).select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]

@@ -95,6 +95,39 @@ def test_asof_single_sort_no_theta_join(spark):
     assert len(re.findall(r"\bSort \[", plan)) == 1
 
 
+def test_memo_and_current_are_broadcast_no_python(spark):
+    """memo_lookup (ltr:url_code/veristat) and with_current must plan as
+    BroadcastHashJoin with zero Python eval nodes — the 'never per-row
+    external calls' contract of the reference's hottest functions."""
+    import __spark_entry__ as m
+
+    for q in (m.q_memo_lookup, m.q_current_corr):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan[:3000]
+        assert "SortMergeJoin" not in plan, plan[:3000]
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rank_queries_have_no_single_partition_exchange(spark):
+    """sort_multikey / explode_tokens must never funnel the full input
+    through one task: no Exchange SinglePartition anywhere (the old
+    no-partitionBy window form produced exactly that)."""
+    import __spark_entry__ as m
+
+    for q in (m.q_sort_multikey, m.q_explode_tokens):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan, plan[:4000]
+
+
+def test_explode_tokens_uses_distributed_limit(spark):
+    """Top-k rides TakeOrderedAndProject (per-partition top-k + driver
+    merge of k·P rows), not a global sort."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_explode_tokens(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:4000]
+
+
 def test_exact_dedup_partial_aggregation(spark):
     """Hash-groupBy dedup keeps map-side partial aggregation (two
     HashAggregate levels around one exchange)."""

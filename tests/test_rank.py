@@ -1,0 +1,60 @@
+"""global_rank / global_topk vs a pandas total-order oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from turboxsl_spark.operators.rank import global_rank, global_topk
+
+
+def _fixture(n=5000, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n),
+            # low-cardinality text key → plenty of ties straddling
+            # range-partition boundaries
+            "grp": rng.choice(list("abcde"), n),
+            "score": rng.integers(0, 50, n).astype("float64"),
+        }
+    )
+
+
+def test_global_rank_matches_pandas_total_order(spark):
+    pdf = _fixture()
+    df = spark.createDataFrame(pdf)
+    order = [F.col("grp").asc(), F.col("score").desc(), F.col("id").asc()]
+    got = (
+        global_rank(df, order, out="rk")
+        .select("id", "rk")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values(
+        ["grp", "score", "id"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    want["rk"] = np.arange(1, len(want) + 1)
+    want = want[["id", "rk"]].sort_values("id").reset_index(drop=True)
+    assert (got["rk"].to_numpy() == want["rk"].to_numpy()).all()
+    # ranks are a permutation of 1..n (no gaps/dupes across partitions)
+    assert sorted(got["rk"]) == list(range(1, len(pdf) + 1))
+
+
+def test_global_rank_empty_input(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    out = global_rank(df, [F.col("v").asc(), F.col("id").asc()], out="rk")
+    assert out.count() == 0
+    assert "rk" in out.columns
+
+
+def test_global_topk_matches_full_rank(spark):
+    pdf = _fixture(n=2000, seed=4)
+    df = spark.createDataFrame(pdf)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = global_topk(df, order, k=25, out="rk").toPandas().sort_values("rk")
+    want = pdf.sort_values(["score", "id"], ascending=[False, True]).head(25)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["rk"].tolist() == list(range(1, 26))

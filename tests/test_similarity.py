@@ -47,6 +47,57 @@ def test_brute_force_matches_numpy(spark, corpus, vectors):
         assert mine == want, f"query {q}: {mine} != {want}"
 
 
+def test_embedding_near_dup_banded_recall(spark):
+    """Planted near-dup pairs (cos ≥ 0.95) among random noise: the
+    banded 16-bit LSH must recover ≥0.9 of them (theory: per-bit match
+    p≈0.9 at cos .95 → 1-(1-p^4)^4 ≈ 0.99), with zero false positives
+    (exact cosine verify)."""
+    from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(23)
+    dim, n_noise, n_pairs = 64, 400, 25
+    rows = []
+    truth = set()
+    for i in range(n_noise):
+        rows.append((i, rng.standard_normal(dim).astype(np.float32).tolist()))
+    nid = n_noise
+    for _ in range(n_pairs):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        # tiny perturbation → cosine well above 0.95
+        w = v + rng.standard_normal(dim) * 0.02
+        rows.append((nid, v.astype(np.float32).tolist()))
+        rows.append((nid + 1, w.astype(np.float32).tolist()))
+        truth.add((nid, nid + 1))
+        nid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dup_pairs(
+        df, threshold=0.95, nbits=16, bands=4, dim=dim
+    ).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}: {sorted(truth - got_pairs)}"
+    # exact verify stage: nothing below the threshold leaks through
+    assert (got["cos_sim"] >= 0.95).all()
+    # noise-noise pairs are never near-dups at dim 64
+    assert all(a >= n_noise and b >= n_noise for a, b in got_pairs)
+
+
+def test_embedding_near_dup_bucket_cap_bounds_fanout(spark):
+    """A degenerate all-identical region must not quadratically explode:
+    with max_bucket below the clump size the clump is excluded (the
+    documented recall-for-boundedness trade)."""
+    from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
+
+    v = [1.0] * 16
+    rows = [(i, v) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(
+        df, threshold=0.9, nbits=8, bands=4, dim=16, max_bucket=10
+    )
+    assert out.count() == 0
+
+
 def test_lsh_topk_recall(spark, corpus, vectors):
     """Clustered data: LSH with multiprobe must recover most of the true
     top-5 (same-cluster points agree on most hyperplane signs)."""

@@ -19,23 +19,49 @@ def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# Spark's floor/ceil(double) return LongType via a raw Java cast, so
+# NaN would become 0 and ±inf would saturate to ±Long.MAX — violating
+# XPath 1.0 (and C floor()) semantics where non-finite values pass
+# through. |x| >= 2^53 doubles are already integral (and cover ±inf),
+# so they are returned unchanged, which also dodges the long overflow.
+_PASS_THROUGH = 2.0**53
+
+
+def _with_integral_guard(c: Column, rounded: Column) -> Column:
+    return F.when(
+        F.isnan(c) | (F.abs(c) >= F.lit(_PASS_THROUGH)), c
+    ).otherwise(rounded)
+
+
 def xpath_round(c: Column | str) -> Column:
-    """XPath ``round``: floor(x + 0.5); NaN propagates."""
-    c = _c(c)
-    return F.floor(c.cast("double") + F.lit(0.5)).cast("double")
+    """XPath ``round``: floor(x + 0.5); NaN/±inf propagate unchanged."""
+    c = _c(c).cast("double")
+    return _with_integral_guard(c, F.floor(c + F.lit(0.5)).cast("double"))
 
 
 def xpath_floor(c: Column | str) -> Column:
-    return F.floor(_c(c).cast("double")).cast("double")
+    c = _c(c).cast("double")
+    return _with_integral_guard(c, F.floor(c).cast("double"))
 
 
 def xpath_ceiling(c: Column | str) -> Column:
-    return F.ceil(_c(c).cast("double")).cast("double")
+    c = _c(c).cast("double")
+    return _with_integral_guard(c, F.ceil(c).cast("double"))
 
 
 def xpath_mod(left: Column | str, right: Column | str) -> Column:
-    """``mod`` truncates BOTH operands to long before the remainder."""
-    return _c(left).cast("long") % _c(right).cast("long")
+    """``mod`` truncates BOTH operands to long before the remainder.
+
+    ANSI-safe: NaN / out-of-long-range operands become NULL via
+    try_cast (the engine's NULL plays XPath's NaN for integer results)
+    and a zero divisor yields NULL instead of raising
+    REMAINDER_BY_ZERO — edge operands must not abort a 100-TB job.
+    """
+    li = _c(left).try_cast("double").try_cast("long")
+    ri = _c(right).try_cast("double").try_cast("long")
+    return F.when(
+        li.isNull() | ri.isNull() | (ri == 0), F.lit(None).cast("long")
+    ).otherwise(li % ri)
 
 
 def xpath_number(c: Column | str) -> Column:

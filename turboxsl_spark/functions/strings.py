@@ -42,12 +42,58 @@ def xpath_translate(c: Column | str, frm: str, to: str) -> Column:
     return F.translate(c, frm, to)
 
 
-def xpath_substring(c: Column | str, start: int, length: int | None = None) -> Column:
-    """1-based, codepoint-aware substring (Spark StringType is codepoint-based)."""
+def xpath_substring(
+    c: Column | str,
+    start: int | float | Column,
+    length: int | float | Column | None = None,
+) -> Column:
+    """1-based, codepoint-aware substring (Spark StringType is codepoint-based).
+
+    Full XPath 1.0 numeric-argument semantics (reference
+    ``/root/reference/src/functions.c:184-222``): start/length are
+    DOUBLES, rounded with round(x)=floor(x+0.5), and the result is the
+    characters at positions p with ``round(start) <= p < round(start) +
+    round(length)`` — so ``substring('12345', 1.5, 2.6)`` → ``'234'``,
+    ``substring('12345', 0, 3)`` → ``'12'``, any NaN → ``''``,
+    ``substring('12345', -42, inf)`` → ``'12345'``,
+    ``substring('12345', -inf, inf)`` → ``''`` (−inf + inf = NaN).
+    Integer fast path stays a bare JVM ``substring``.
+    """
+    from turboxsl_spark.functions.numeric import xpath_round
+
     c = F.col(c) if isinstance(c, str) else c
+    if (
+        isinstance(start, int)
+        and not isinstance(start, bool)
+        and (length is None or (isinstance(length, int) and not isinstance(length, bool)))
+    ):
+        if length is None:
+            return F.substring(c, start, 0x7FFFFFFF)
+        return F.substring(c, start, length)
+
+    def as_double(x) -> Column:
+        return F.lit(float(x)) if not isinstance(x, Column) else x.cast("double")
+
+    rs = xpath_round(as_double(start))
+    slen = F.length(c).cast("double")
+    frm = F.greatest(rs, F.lit(1.0))
     if length is None:
-        return F.substring(c, start, 0x7FFFFFFF)
-    return F.substring(c, start, length)
+        return (
+            F.when(F.isnan(rs) | (frm > slen), F.lit(""))
+            .otherwise(F.substring(c, frm.cast("int"), F.lit(0x7FFFFFFF)))
+        )
+    end = rs + xpath_round(as_double(length))  # exclusive position bound
+    cnt = end - frm
+    return (
+        F.when(F.isnan(rs) | F.isnan(end) | (cnt <= 0) | (frm > slen), F.lit(""))
+        .otherwise(
+            F.substring(
+                c,
+                frm.cast("int"),
+                F.least(cnt, F.lit(2147483647.0)).cast("int"),
+            )
+        )
+    )
 
 
 def substring_before(c: Column | str, sep: str) -> Column:

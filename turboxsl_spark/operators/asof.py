@@ -10,23 +10,117 @@ the latest fact of the same key with ``fact.ts <= ts`` (inclusive) or
 Physical strategy (scale-first): the naive formulation is a theta join
 (``spine × facts WHERE fact.ts <= spine.ts`` reduced by max) — a
 blowup at 100 TB. Instead we UNION the two sides, sort once within
-key-hashed partitions, and forward-fill fact columns with
-``last(ignorenulls=True)`` over rows (-inf, 0]: one shuffle on the key,
-one sort, zero row amplification, works for any spine/fact size ratio.
-This is the sort-merge as-of pass the north rule names.
+key-hashed partitions, and forward-fill ONE struct holding the entire
+matched fact row with ``last(ignorenulls=True)`` over rows (-inf, 0]:
+one shuffle on the key, one sort, zero row amplification, works for
+any spine/fact size ratio. This is the sort-merge as-of pass the north
+rule names.
+
+The fact travels as one struct (ts + all value columns) so the fill is
+ATOMIC: a NULL inside the latest fact surfaces as NULL instead of
+silently borrowing that column from an older fact.
 
 Tie handling via a union-side rank in the sort key:
   inclusive → facts sort BEFORE spine rows at equal ts (fact visible)
   strict    → facts sort AFTER  spine rows at equal ts (fact hidden)
+
+``asof_join_salted`` is the skew-safe variant: a mega-key (the
+reference's work-stealing scenario, ``src/unbounded_queue.c:101-128``,
+transposed to a 10^9-turn conversation) collapses the plain form to one
+task; time-bucket salting bounds every partition and merges carry-in
+facts across buckets in a second, tiny phase.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _fact_struct_type(
+    spine: DataFrame, facts: DataFrame, ts_col: str, value_cols: Sequence[str]
+) -> T.StructType:
+    return T.StructType(
+        [T.StructField("_fts", facts.schema[ts_col].dataType)]
+        + [T.StructField(f"_v_{c}", facts.schema[c].dataType) for c in value_cols]
+    )
+
+
+def _union_sides(
+    spine: DataFrame,
+    facts: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    strict: bool,
+    fact_seq_col: str | None,
+) -> tuple[DataFrame, list[str], int]:
+    """Tag + union both sides; the matched fact rides ONE struct column.
+
+    Returns (unioned, spine_cols, spine_rank).
+    """
+    spine_cols = spine.columns
+    # side rank: smaller sorts first at equal ts
+    fact_rank = 0 if not strict else 1
+    spine_rank = 1 - fact_rank
+    seq = (
+        F.col(fact_seq_col).cast("long") if fact_seq_col else F.lit(0).cast("long")
+    )
+    struct_type = _fact_struct_type(spine, facts, ts_col, value_cols)
+    f_side = facts.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_asof_ts"),
+        F.lit(fact_rank).alias("_side"),
+        seq.alias("_seq"),
+        F.struct(
+            F.col(ts_col).alias("_fts"),
+            *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        ).alias("_fact"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(f"_s_{c}") for c in spine_cols],
+    )
+    s_side = spine.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_asof_ts"),
+        F.lit(spine_rank).alias("_side"),
+        F.lit(0).cast("long").alias("_seq"),
+        F.lit(None).cast(struct_type).alias("_fact"),
+        *[F.col(c).alias(f"_s_{c}") for c in spine_cols],
+    )
+    return f_side.unionByName(s_side), spine_cols, spine_rank
+
+
+def _project_out(
+    filled: DataFrame,
+    spine_cols: Sequence[str],
+    spine_rank: int,
+    value_cols: Sequence[str],
+    suffix: str,
+    fact_ts_out: str | None,
+    tolerance_s: float | None,
+    fill_col: str = "_ff",
+) -> DataFrame:
+    ff_ts = F.col(f"{fill_col}._fts")
+    if tolerance_s is not None:
+        # freshness judged on the matched fact's own timestamp — the
+        # same struct the values come from, so a stale fact nulls out
+        # values AND timestamp together
+        fresh = F.unix_micros(ff_ts.cast("timestamp")) >= (
+            F.unix_micros(F.col("_asof_ts").cast("timestamp"))
+            - F.lit(int(tolerance_s * 1_000_000))
+        )
+        val = lambda c: F.when(fresh, F.col(f"{fill_col}._v_{c}"))
+        ts_val = F.when(fresh, ff_ts)
+    else:
+        val = lambda c: F.col(f"{fill_col}._v_{c}")
+        ts_val = ff_ts
+    return filled.where(F.col("_side") == spine_rank).select(
+        *[F.col(f"_s_{c}").alias(c) for c in spine_cols],
+        *[val(c).alias(f"{c}{suffix}") for c in value_cols],
+        *([ts_val.alias(fact_ts_out)] if fact_ts_out else []),
+    )
 
 
 def asof_join(
@@ -58,48 +152,9 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in facts.columns if c not in keys and c != ts_col]
 
-    spine_cols = spine.columns
-    # side rank: smaller sorts first at equal ts
-    fact_rank = 0 if not strict else 1
-    spine_rank = 1 - fact_rank
-
-    seq = (
-        F.col(fact_seq_col).cast("long")
-        if fact_seq_col
-        else F.lit(0).cast("long")
+    unioned, spine_cols, spine_rank = _union_sides(
+        spine, facts, keys, ts_col, value_cols, strict, fact_seq_col
     )
-    # The matched fact travels as ONE struct (ts + all value columns) so
-    # forward-fill attaches the latest preceding fact row ATOMICALLY.
-    # Filling each value column independently would, whenever the latest
-    # fact holds a NULL in one column, silently pull that column from an
-    # OLDER fact — mixing columns across fact rows and breaking
-    # point-in-time semantics for nullable facts (pinned by
-    # tests/test_asof.py::test_null_fact_values_fill_atomically).
-    fact_struct_type = T.StructType(
-        [T.StructField("_fts", facts.schema[ts_col].dataType)]
-        + [T.StructField(f"_v_{c}", facts.schema[c].dataType) for c in value_cols]
-    )
-    f_side = facts.select(
-        *[F.col(k) for k in keys],
-        F.col(ts_col).alias("_asof_ts"),
-        F.lit(fact_rank).alias("_side"),
-        seq.alias("_seq"),
-        F.struct(
-            F.col(ts_col).alias("_fts"),
-            *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        ).alias("_fact"),
-        *[F.lit(None).cast(spine.schema[c].dataType).alias(f"_s_{c}") for c in spine_cols],
-    )
-    s_side = spine.select(
-        *[F.col(k) for k in keys],
-        F.col(ts_col).alias("_asof_ts"),
-        F.lit(spine_rank).alias("_side"),
-        F.lit(0).cast("long").alias("_seq"),
-        F.lit(None).cast(fact_struct_type).alias("_fact"),
-        *[F.col(c).alias(f"_s_{c}") for c in spine_cols],
-    )
-
-    unioned = f_side.unionByName(s_side)
     w = (
         Window.partitionBy(*keys)
         .orderBy("_asof_ts", "_side", "_seq")
@@ -108,23 +163,99 @@ def asof_join(
     filled = unioned.select(
         "*", F.last("_fact", ignorenulls=True).over(w).alias("_ff")
     )
-    ff_ts = F.col("_ff._fts")
-    if tolerance_s is not None:
-        # freshness judged on the matched fact's own timestamp — the
-        # same struct the values come from, so a stale fact nulls out
-        # values AND timestamp together
-        fresh = F.unix_micros(ff_ts.cast("timestamp")) >= (
-            F.unix_micros(F.col("_asof_ts").cast("timestamp"))
-            - F.lit(int(tolerance_s * 1_000_000))
-        )
-        val = lambda c: F.when(fresh, F.col(f"_ff._v_{c}"))
-        ts_val = F.when(fresh, ff_ts)
-    else:
-        val = lambda c: F.col(f"_ff._v_{c}")
-        ts_val = ff_ts
-    out = filled.where(F.col("_side") == spine_rank).select(
-        *[F.col(f"_s_{c}").alias(c) for c in spine_cols],
-        *[val(c).alias(f"{c}{suffix}") for c in value_cols],
-        *([ts_val.alias(fact_ts_out)] if fact_ts_out else []),
+    return _project_out(
+        filled, spine_cols, spine_rank, value_cols, suffix, fact_ts_out, tolerance_s
     )
-    return out
+
+
+def asof_join_salted(
+    spine: DataFrame,
+    facts: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts_col: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+    fact_ts_out: str | None = "ts_fact_asof",
+    fact_seq_col: str | None = None,
+    tolerance_s: float | None = None,
+    chunk_s: float = 86400.0,
+) -> DataFrame:
+    """Skew-safe as-of join: time-bucket salted two-phase merge.
+
+    The plain form puts a whole key in one task; a mega-conversation
+    then dominates the stage. Salting by time bucket
+    ``floor(unix_micros(ts) / chunk_s)`` bounds each partition:
+
+      phase 1: the union+window as-of runs LOCALLY within
+               ``(key, bucket)`` — bounded partitions;
+      phase 2: each bucket's LAST fact struct (``max_by`` over the
+               bucket's facts — atomic, whole row) is forward-filled
+               along the per-key bucket axis (one row per bucket —
+               tiny), giving every bucket the carry-in fact of all
+               previous buckets; rows whose local fill is NULL take
+               the carry.
+
+    Tie semantics stay exact: a carried fact comes from a strictly
+    earlier bucket, so ``fact.ts < bucket_start <= spine.ts`` — the
+    strict/inclusive distinction only matters at equal timestamps,
+    which always share a bucket and are resolved by phase 1's
+    ``(ts, side, seq)`` order. Salt-invariance vs the plain operator is
+    property-tested in tests/test_asof.py and oracle-checked by the
+    driver's ``asof_salted`` query against the SAME SQL as ``asof_join``.
+
+    ``chunk_s`` sets the skew bound: rows per task ≤ rows per
+    ``(key, chunk_s)`` window. Pick it from the key's peak event rate
+    (e.g. 1 day at 10^4 turns/day ≈ 10^4-row partitions).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in facts.columns if c not in keys and c != ts_col]
+
+    unioned, spine_cols, spine_rank = _union_sides(
+        spine, facts, keys, ts_col, value_cols, strict, fact_seq_col
+    )
+    chunk_us = int(chunk_s * 1_000_000)
+    unioned = unioned.withColumn(
+        "_bucket",
+        F.floor(
+            F.unix_micros(F.col("_asof_ts").cast("timestamp")) / F.lit(chunk_us)
+        ).cast("long"),
+    )
+
+    # phase 1: local as-of within (key, bucket)
+    w_local = (
+        Window.partitionBy(*keys, "_bucket")
+        .orderBy("_asof_ts", "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = unioned.withColumn(
+        "_ff_local", F.last("_fact", ignorenulls=True).over(w_local)
+    )
+
+    # phase 2: carry-in = last fact of any PREVIOUS bucket.
+    # bucket spine = every (key, bucket) present; buckets with facts
+    # contribute their last fact struct via max_by (atomic row pick).
+    bucket_last = (
+        unioned.groupBy(*keys, "_bucket")
+        .agg(
+            F.max_by(
+                "_fact", F.when(F.col("_fact").isNotNull(), F.struct("_asof_ts", "_seq"))
+            ).alias("_bucket_fact")
+        )
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bucket_last.withColumn(
+        "_carry", F.last("_bucket_fact", ignorenulls=True).over(w_carry)
+    ).select(*keys, "_bucket", "_carry")
+
+    filled = local.join(carry, [*keys, "_bucket"]).withColumn(
+        "_ff", F.coalesce("_ff_local", "_carry")
+    )
+    return _project_out(
+        filled, spine_cols, spine_rank, value_cols, suffix, fact_ts_out, tolerance_s
+    )

@@ -34,15 +34,23 @@ def tokenize(c: Column | str, lowercase: bool = True) -> Column:
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles via sequence+transform — JVM-side sliding window."""
-    return F.when(
-        F.size(tokens) < n,
-        # short docs: the whole token string is the single shingle
-        F.array(F.concat_ws(" ", tokens)),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    """Word n-gram shingles via sequence+transform — JVM-side sliding window.
+
+    Zero tokens → empty array (an empty document has NO shingles, so
+    downstream min-hashing hits its explicit sentinel path instead of
+    sharing an accidental hash-of-empty-string shingle)."""
+    return (
+        F.when(F.size(tokens) == 0, F.array().cast("array<string>"))
+        .when(
+            F.size(tokens) < n,
+            # short docs: the whole token string is the single shingle
+            F.array(F.concat_ws(" ", tokens)),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            )
         )
     )
 
@@ -55,14 +63,17 @@ def shingle_hashes(tokens: Column, n: int = 3) -> Column:
     assembly per shingle is the dominant cost of the naive version —
     hashing token tuples directly is ~10x cheaper and equally valid as
     a shingle identity (collisions are negligible at 64 bits).
+    Zero tokens → empty array (mirrors ``shingles``).
     """
 
     def gram(i: Column) -> Column:
         return F.xxhash64(*[F.element_at(tokens, i + j) for j in range(n)])
 
-    return F.when(
-        F.size(tokens) < n, F.array(F.xxhash64(F.concat_ws(" ", tokens)))
-    ).otherwise(F.transform(F.sequence(F.lit(1), F.size(tokens) - (n - 1)), gram))
+    return (
+        F.when(F.size(tokens) == 0, F.array().cast("array<bigint>"))
+        .when(F.size(tokens) < n, F.array(F.xxhash64(F.concat_ws(" ", tokens))))
+        .otherwise(F.transform(F.sequence(F.lit(1), F.size(tokens) - (n - 1)), gram))
+    )
 
 
 def exact_dedup(
@@ -129,8 +140,13 @@ def minhash_signatures(
             F.explode_outer(shingle_hashes(F.col("_toks"), shingle_n)).alias("_h"),
         )
     )
+    # xxhash64 silently skips NULL args (never returns NULL), so the
+    # no-shingle row from explode_outer must be masked explicitly or
+    # empty/NULL docs would get a real-looking signature of hash(seed)
     aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(seed + i))).alias(f"_m{i}")
+        F.min(
+            F.when(F.col("_h").isNotNull(), F.xxhash64(F.col("_h"), F.lit(seed + i)))
+        ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
     sentinel = F.lit((1 << 63) - 1).cast("long")
@@ -212,27 +228,60 @@ def ngram_jaccard(
     return out.select("id_a", "id_b", "jaccard")
 
 
-def duplicate_components(dupes: DataFrame, hops: int = 3) -> DataFrame:
-    """Collapse verified duplicate PAIRS into connected components by
-    pointer-jumping: rep(x) ← rep(rep(x)), ``hops`` times — chains up
-    to 2^hops collapse to their min-id representative. Each hop is one
-    self-join on a table of (node, rep) longs; no driver iteration on
-    data, no convergence action.
+def duplicate_components(dupes: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Collapse verified duplicate PAIRS into connected components:
+    every node ends up labeled with its component's MIN id.
+
+    Each round does (1) neighbor-min label propagation
+    ``rep(x) ← min(rep(x), min over edges (x,y) of rep(y))`` — the step
+    that carries the min label across "valleys" where plain
+    pointer-jumping stalls (edges 5–3, 3–8, 8–1 have pointer fixpoint
+    {3,5},{1,8} but one true component) — and (2) a pointer-jump
+    ``rep(x) ← min(rep(x), rep(rep(x)))`` that doubles propagation
+    distance, so convergence is O(log diameter) rounds.
+
+    The loop is data-driven: each round is two self-joins on a (node,
+    rep) long table, localCheckpoint()ed to truncate lineage, and stops
+    at the fixpoint detected by a cheap changed-row probe.
+    ``max_rounds`` (default 16 → diameter ≤ 2^16) is a runaway bound,
+    not a correctness knob.
 
     Returns (node, rep) for every node that belongs to a component,
     rep < node for non-representatives.
     """
     edges = dupes.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    und = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     rep = und.groupBy("a").agg(F.min("b").alias("_mn")).select(
         F.col("a").alias("node"), F.least("_mn", "a").alias("rep")
     )
-    for _ in range(hops):
-        r2 = rep.select(F.col("node").alias("_n2"), F.col("rep").alias("_r2"))
-        rep = (
-            rep.join(r2, rep.rep == r2._n2, "left")
-            .select("node", F.least(F.col("rep"), F.col("_r2")).alias("rep"))
+    for _ in range(max_rounds):
+        # (1) propagate each neighbor's current label along edges
+        r_b = rep.select(F.col("node").alias("b"), F.col("rep").alias("_rb"))
+        nbr = und.join(r_b, "b").groupBy("a").agg(F.min("_rb").alias("_nb"))
+        stepped = rep.join(
+            nbr.withColumnRenamed("a", "node"), "node", "left"
+        ).select("node", F.least("rep", F.coalesce("_nb", "rep")).alias("rep"))
+        # (2) pointer-jump through the (tiny) label table
+        r2 = stepped.select(F.col("node").alias("_n2"), F.col("rep").alias("_r2"))
+        jumped = (
+            stepped.join(r2, stepped.rep == r2._n2, "left")
+            .select("node", F.least("rep", F.coalesce("_r2", "rep")).alias("rep"))
+            .localCheckpoint()
         )
+        changed = (
+            jumped.alias("n")
+            .join(rep.alias("o"), "node")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        rep = jumped
+        if changed == 0:
+            break
     return rep
 
 
@@ -244,17 +293,17 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    cc_hops: int = 3,
+    cc_max_rounds: int = 16,
 ) -> DataFrame:
     """Full near-dup pipeline: sign → LSH buckets → Jaccard verify →
-    connected components (pointer-jumping, chains ≤ 2^cc_hops) → keep
-    the min-id representative of each component."""
+    connected components (label-prop + pointer-jump to fixpoint) →
+    keep the min-id representative of each component."""
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, id_col=id_col)
     pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands, num_hashes // bands)
     dupes = ngram_jaccard(pairs, df, id_col, text_col).where(
         F.col("jaccard") >= threshold
     )
-    comp = duplicate_components(dupes, hops=cc_hops)
+    comp = duplicate_components(dupes, max_rounds=cc_max_rounds)
     losers = comp.where(F.col("rep") < F.col("node")).select(
         F.col("node").alias(id_col)
     )
@@ -299,26 +348,74 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     nbits: int = 16,
+    bands: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH bucketing.
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH.
 
-    Pairs sharing a sign-signature bucket get exact cosine; pairs above
-    the threshold are emitted. One shuffle on the bucket key.
+    The ``nbits`` sign signature is split into ``bands`` keys of
+    ``nbits/bands`` bits; a pair becomes a candidate if ANY band
+    matches, then exact cosine verifies. Banding (same OR-construction
+    as MinHash LSH) fixes both failure modes of a single full-signature
+    bucket: the recall cliff at high nbits (a 0.95-cosine pair flips
+    one of 16 bits with p≈0.8) and the quadratic hot-bucket blowup at
+    low nbits. With per-bit match prob p, candidate recall is
+    1-(1-p^r)^b — e.g. cos 0.95, nbits=16, bands=4 → ~0.99.
+
+    ``max_bucket`` hard-caps adversarial buckets (e.g. a degenerate
+    all-identical region): (band, bucket) groups larger than the cap
+    are excluded from the self-join, trading recall inside that bucket
+    for a hard bound on join fan-out. The count survives as the
+    ``_bucket_n`` you can inspect on the banded side.
+
+    Shuffles: one on (band, bucket) for the size window + self-join
+    (co-partitioned), one pair-dedup aggregation on candidates only.
     """
     from turboxsl_spark.operators.similarity import cosine, random_hyperplane_bucket
 
-    b = random_hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed, dim=dim)
-    bucketed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), b.alias("_bkt"))
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (
-        l.join(r, "_bkt")
+    if nbits % bands != 0:
+        raise ValueError(f"nbits={nbits} must be divisible by bands={bands}")
+    r = nbits // bands
+    sig = random_hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed, dim=dim)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
+    )
+    banded = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        F.shiftright(F.col("_sig"), b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("_bkt"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_v", F.col("bb._band").alias("_band"), F.col("bb._bkt").alias("_bkt"))
+    wb = Window.partitionBy("_band", "_bkt")
+    banded = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(wb)).where(
+        F.col("_bucket_n") <= max_bucket
+    )
+    l, rr = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(rr, ["_band", "_bkt"])
         .where(F.col("l._id") < F.col("r._id"))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v"), F.col("r._v")).alias("cos_sim"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
         )
-        .where(F.col("cos_sim") >= threshold)
+        # a pair colliding in several bands must score ONCE
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,96 @@
+"""Distributed global rank / total-order sort — no single-task window.
+
+``xsl:sort`` demands a deterministic total order over the whole output
+(SURVEY.md §2.7; reference ``src/transform.c`` sort handling). The
+naive Spark spelling — ``row_number() OVER (ORDER BY ...)`` with no
+``partitionBy`` — moves EVERY row through one task (Spark logs the
+"No Partition Defined" warning): correct at sf0.1, a single-task wall
+at 100 TB. This module is the two-phase form:
+
+  1. ``repartitionByRange(P, keys)`` — ONE range exchange (Spark
+     samples boundaries); each partition holds a contiguous key range;
+  2. per-partition sort + ``row_number`` within ``spark_partition_id()``
+     — parallel, partition sizes balanced by the range partitioner;
+  3. per-partition row counts — a P-row aggregate collected to the
+     driver (bounded by the PARTITION COUNT, never by the data; the
+     same order of driver traffic as the range sampling itself) —
+     become cumulative offsets, broadcast back and added to the local
+     row numbers.
+
+Cost: two passes over the ranked table (count job + rank job), both
+fully parallel — the input is persisted MEMORY_AND_DISK between them
+so the range exchange runs once and partition ids are stable.
+
+The order spec MUST be total (include a unique tiebreak column):
+equal keys may straddle a range boundary, so without a tiebreak the
+assignment of equal rows to ranks would be nondeterministic. Every
+caller in this repo ranks on (..., unique_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order: Sequence[Column],
+    out: str = "rank",
+    num_partitions: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Add a 1-based global ``row_number`` under a total order.
+
+    ``order``: sort expressions (``F.col(...).asc()/.desc()``), used for
+    both the range partitioning and the in-partition sort; must include
+    a unique tiebreak. Returns ``df`` plus the ``out`` long column.
+    """
+    spark = df.sparkSession
+    order = list(order)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(num_partitions, *order).withColumn(
+        "_gr_pid", F.spark_partition_id()
+    )
+    if persist:
+        # one materialization feeds both the count job and the rank job:
+        # no double range-exchange, and partition ids cannot drift
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = part.groupBy("_gr_pid").count().collect()
+    acc = 0
+    offset_rows = []
+    for r in sorted(counts, key=lambda r: r["_gr_pid"]):
+        offset_rows.append((r["_gr_pid"], acc))
+        acc += r["count"]
+    if not offset_rows:
+        return df.withColumn(out, F.lit(None).cast("long")).where(F.lit(False))
+    offsets = spark.createDataFrame(offset_rows, "_gr_pid int, _gr_off long")
+    w = Window.partitionBy("_gr_pid").orderBy(*order)
+    ranked = (
+        part.withColumn("_gr_lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_gr_pid")
+        .withColumn(out, (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_pid", "_gr_lrn", "_gr_off")
+    )
+    return ranked
+
+
+def global_topk(
+    df: DataFrame,
+    order: Sequence[Column],
+    k: int,
+    out: str = "rank",
+) -> DataFrame:
+    """Top-k rows under a total order, with 1-based ranks attached.
+
+    Phase 1 is Spark's own distributed limit (``TakeOrderedAndProject``:
+    each partition keeps its local top-k, the driver merges k·P rows —
+    never a full global sort, never a single-task window). Phase 2
+    ranks the surviving ≤k rows with the distributed ``global_rank``.
+    """
+    top = df.orderBy(*order).limit(k)
+    return global_rank(top, order, out=out, num_partitions=max(2, min(8, k)))
