@@ -412,6 +412,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: driver-trained k-means coarse quantizer →
+    inverted-list equi-join → exact cosine (rows-only; recall vs brute
+    force pinned in tests/test_similarity.py)."""
+    from turboxsl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id AS q_id", "embedding"
+    )
+    out = ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4, sample_size=2000)
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_template_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 xsl:choose/when/otherwise — first-match multiway branch as a
     chained F.when (the engine's template-dispatch form)."""
@@ -766,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "sessionize_salted": q_sessionize_salted,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,

@@ -60,6 +60,43 @@ def test_format_number_rejects_percent():
         format_number(F.lit(1.0), "0%")
 
 
+def test_format_number_exact_decimal_rounding(spark):
+    """float-math scaling misrounds 1.005·100 = 100.4999... → '1.00';
+    the exact-decimal path must give '1.01' (HALF_UP on the double's
+    shortest repr), and stay correct at large magnitudes."""
+    cases = [(1.005, "0.00", "1.01"), (2.675, "0.00", "2.68"),
+             (1e15 + 0.5, "0", "1000000000000001"),  # exact .5 at 1e15 rounds up
+             (1234567890123.455, "0.00", "1234567890123.46")]
+    for value, pattern, want in cases:
+        df = spark.createDataFrame([(value,)], "x double")
+        got = df.select(format_number("x", pattern).alias("v")).collect()[0][0]
+        assert got == want, (value, pattern, got)
+
+
+def test_format_number_negative_prefix_placement(spark):
+    """JDK DecimalFormat semantics: with no negative subpattern the
+    minus goes BEFORE the positive prefix ('-$5.00', not '$-5.00')."""
+    df = spark.createDataFrame([(-5.0,)], "x double")
+    got = df.select(format_number("x", "$0.00").alias("v")).collect()[0][0]
+    assert got == "-$5.00"
+
+
+def test_decimal_format_registry(spark):
+    from turboxsl_spark.functions.format_number import DecimalFormatRegistry
+
+    reg = DecimalFormatRegistry().register(
+        "ru", DecimalFormat(decimal_sep=",", grouping_sep=" ")
+    )
+    df = spark.createDataFrame([(1234.5,)], "x double")
+    got = df.select(format_number("x", "#,##0.00", "ru", reg).alias("v")).collect()[0][0]
+    assert got == "1 234,50"
+    # default (unnamed) format always present
+    got2 = df.select(format_number("x", "#,##0.00", "", reg).alias("v")).collect()[0][0]
+    assert got2 == "1,234.50"
+    with pytest.raises(KeyError):
+        format_number(F.lit(1.0), "0", "nope", reg)
+
+
 def test_engine_register_feature(spark):
     from turboxsl_spark.sources.transcripts import TRANSCRIPT_SCHEMA, gen_transcripts_pdf
 

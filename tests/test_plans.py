@@ -128,6 +128,29 @@ def test_explode_tokens_uses_distributed_limit(spark):
     assert "TakeOrderedAndProject" in plan, plan[:4000]
 
 
+def test_bucketed_input_zero_exchange(spark, tx, tmp_path_factory):
+    """The cluster-scale layout: input bucketed+sorted on the window key
+    makes the ENTIRE flagship feature build shuffle-free (0 Exchange
+    nodes) — scan-time partitioning satisfies the window's distribution
+    requirement. Results must equal the plain path bit-for-bit."""
+    from turboxsl_spark.sources.tables import read_bucketed, write_bucketed
+
+    path = str(tmp_path_factory.mktemp("bucketed") / "tx")
+    write_bucketed(
+        tx, "tx_bucketed_gate", 8, ["conv_id"], ["conv_id", "ts", "turn_idx"], path=path
+    )
+    df = read_bucketed(spark, "tx_bucketed_gate")
+    out = build_features(df, FeatureSpec())
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan[:4000]
+    plain = build_features(tx, FeatureSpec())
+    cols = ["conv_id", "turn_idx", "digest", "session_id", "chars_so_far"]
+    a = out.select(*cols).exceptAll(plain.select(*cols))
+    b = plain.select(*cols).exceptAll(out.select(*cols))
+    assert a.isEmpty() and b.isEmpty()
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed_gate")
+
+
 def test_exact_dedup_partial_aggregation(spark):
     """Hash-groupBy dedup keeps map-side partial aggregation (two
     HashAggregate levels around one exchange)."""

@@ -47,6 +47,27 @@ def test_brute_force_matches_numpy(spark, corpus, vectors):
         assert mine == want, f"query {q}: {mine} != {want}"
 
 
+def test_ivf_topk_recall_beats_probe_fraction(spark, corpus, vectors):
+    """Clustered corpus: IVF with nprobe=3/16 lists must recover most
+    of the true top-5 (trained centroids align with the real clusters,
+    so a query's own cluster is almost always probed)."""
+    from turboxsl_spark.operators.similarity import ivf_topk
+
+    queries = corpus.where("vec_id IN (10, 70, 130)").selectExpr(
+        "vec_id AS q_id", "embedding"
+    )
+    approx = ivf_topk(
+        corpus, queries, k=5, n_centroids=16, nprobe=3, sample_size=240, seed=7
+    ).toPandas()
+    hits = total = 0
+    for q in (10, 70, 130):
+        true = set(_numpy_topk(vectors, q, 6)[:5])
+        got = set(approx[approx.q_id == q]["vec_id"]) - {q}
+        hits += len(true & got)
+        total += 5
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
 def test_embedding_near_dup_banded_recall(spark):
     """Planted near-dup pairs (cos ≥ 0.95) among random noise: the
     banded 16-bit LSH must recover ≥0.9 of them (theory: per-bit match

@@ -14,6 +14,48 @@ from turboxsl_spark.sources.transcripts import TRANSCRIPT_SCHEMA, gen_transcript
 from turboxsl_spark.streaming.sessions import run_stream_from_dir
 
 
+def test_stateful_turn_features_match_batch(spark, tmp_path):
+    """applyInPandasWithState per-turn (session_id, position) must equal
+    the batch window computation when turns arrive in event-time order —
+    state (last ts, open session, count) carries across micro-batches
+    (one file per trigger forces real cross-batch carries)."""
+    from pyspark.sql import Window as W
+
+    from turboxsl_spark.streaming.stateful import run_stateful_from_dir
+
+    pdf = gen_transcripts_pdf(n_convs=10, seed=33, mega_frac=0.0)
+    src = str(tmp_path / "stateful_src")
+    os.makedirs(src)
+    pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    n_files = 5
+    bounds = [int(len(pdf) * i / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+            f"{src}/part-{i:02d}.parquet", index=False
+        )
+
+    got = (
+        run_stateful_from_dir(spark, src, query_name="t_turns")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    batch_df = spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+    w = W.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    want = (
+        with_session_id(batch_df, timeout_s=1800)
+        .withColumn("position", F.row_number().over(w))
+        .select("conv_id", "turn_idx", "session_id", "position")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["session_id"].tolist() == want["session_id"].tolist()
+    assert got["position"].tolist() == want["position"].tolist()
+
+
 def test_streaming_sessions_match_batch(spark, tmp_path):
     pdf = gen_transcripts_pdf(n_convs=12, seed=21, mega_frac=0.0)
     src = str(tmp_path / "stream_src")

@@ -19,6 +19,7 @@ pattern is parsed ONCE at plan-build time.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import Column
@@ -35,6 +36,30 @@ class DecimalFormat:
     minus: str = "-"
     nan: str = "NaN"
     infinity: str = "Infinity"
+
+
+class DecimalFormatRegistry:
+    """Named ``xsl:decimal-format`` collection.
+
+    The reference gathers every named decimal-format of a stylesheet
+    into one lookup (``/root/reference/src/transform.c:363-369``);
+    ``format-number(v, pattern, name)`` selects by name at call time.
+    The unnamed entry ("") is the XSLT default format.
+    """
+
+    def __init__(self) -> None:
+        self._formats: dict[str, DecimalFormat] = {"": DecimalFormat()}
+
+    def register(self, name: str, fmt: DecimalFormat) -> "DecimalFormatRegistry":
+        self._formats[name] = fmt
+        return self
+
+    def get(self, name: str = "") -> DecimalFormat:
+        if name not in self._formats:
+            # XSLT 1.0 §12.3: referencing an undeclared decimal-format
+            # is an error — fail at plan-build time, not per row
+            raise KeyError(f"undeclared xsl:decimal-format {name!r}")
+        return self._formats[name]
 
 
 @dataclass(frozen=True)
@@ -81,9 +106,13 @@ def _format_one(x: float, p: _Pattern, sym: DecimalFormat) -> str | None:
         return (sym.minus if x < 0 else "") + sym.infinity
     neg = x < 0
     # round half-up at max_frac digits (DecimalFormat default HALF_EVEN;
-    # XSLT processors commonly do HALF_UP — pin HALF_UP, test-locked)
-    scaled = abs(x) * (10**p.max_frac)
-    scaled = int(scaled + 0.5)
+    # XSLT processors commonly do HALF_UP — pin HALF_UP, test-locked).
+    # Exact decimal arithmetic on the double's shortest round-trip
+    # repr: the float version int(|x|·10^f + 0.5) misrounds whenever
+    # the scaled product lands below .5 by one ULP (1.005 → "1.00").
+    scaled = int(
+        Decimal(repr(abs(x))).scaleb(p.max_frac).to_integral_value(ROUND_HALF_UP)
+    )
     int_val, frac_val = divmod(scaled, 10**p.max_frac)
     int_str = str(int_val).zfill(p.min_int) if p.min_int else str(int_val)
     if p.group_size:
@@ -102,18 +131,32 @@ def _format_one(x: float, p: _Pattern, sym: DecimalFormat) -> str | None:
     out = int_str
     if frac_digits:
         out = f"{out}{sym.decimal_sep}{frac_digits}"
+    # minus BEFORE the prefix: with no explicit negative subpattern,
+    # JDK DecimalFormat prefixes the minus to the whole positive
+    # subpattern — new DecimalFormat("$0.00").format(-5) == "-$5.00"
+    # (test-pinned in tests/test_functions_misc.py)
     return f"{sym.minus if neg else ''}{p.prefix}{out}{p.suffix}"
 
 
 def format_number(
-    c: Column | str, pattern: str, symbols: DecimalFormat = DecimalFormat()
+    c: Column | str,
+    pattern: str,
+    symbols: DecimalFormat | str = DecimalFormat(),
+    registry: DecimalFormatRegistry | None = None,
 ) -> Column:
     """Vectorized format-number(value, pattern[, decimal-format]).
+
+    ``symbols`` may be a DecimalFormat or a NAME resolved through
+    ``registry`` (the xsl:decimal-format third-argument form);
+    resolution happens at plan-build time, so an undeclared name fails
+    fast rather than per row.
 
     NULL input renders as the NaN symbol (the Arrow float64 path folds
     null into NaN) — matching XPath 1.0, where there is no null and
     format-number of an empty value yields 'NaN'.
     """
+    if isinstance(symbols, str):
+        symbols = (registry or DecimalFormatRegistry()).get(symbols)
     parsed = _parse_pattern(pattern)
     c = F.col(c) if isinstance(c, str) else c
 

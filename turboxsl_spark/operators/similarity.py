@@ -16,8 +16,10 @@ bucket-join shape; LSH chosen because it needs no training pass.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -90,6 +92,100 @@ def random_hyperplane_bucket(
         bit = (dot(vec, plane) > 0).cast("long")
         bucket = bucket + bit * F.lit(1 << i)
     return bucket
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-side Lloyd k-means on a BOUNDED sample (the IVF training
+    pass — FAISS-style coarse quantizer). Rows are L2-normalized so
+    assignment by max dot product == min angular distance."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # k-means++-ish init: spread picks by distance weighting
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(n_centroids - 1):
+        sims = np.max(np.stack([x @ c for c in cents]), axis=0)
+        d2 = np.maximum(1.0 - sims, 1e-9) ** 2
+        cents.append(x[rng.choice(len(x), p=d2 / d2.sum())])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def _assign_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-vectorized nearest-centroid assignment: one numpy matmul
+    per batch (beats k interpreted array-lambda dot products by far)."""
+    c_t = centroids.T.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c_t
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    sample_size: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: trained coarse quantizer, inverted lists.
+
+    Train: a bounded corpus sample (``sample_size`` rows collected to
+    the driver — the same driver-traffic order as range-partition
+    sampling) fits k-means centroids, broadcast as plan-time literals
+    inside an Arrow UDF. Index: every corpus vector joins its single
+    nearest centroid (the inverted list id). Search: each query probes
+    its ``nprobe`` nearest lists; exact cosine inside, top-k per query.
+
+    vs LSH: data-adapted partitions (clustered corpora get balanced
+    lists where hyperplanes split clusters), one training pass, recall
+    tuned by nprobe with cost ∝ nprobe/n_centroids of brute force.
+    Scale shape: centroid assignment is map-only; the candidate join is
+    an equi-join on the list id; no all-pairs anywhere.
+    """
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col).limit(sample_size).collect()
+        ]
+    )
+    cents = _kmeans_centroids(sample, n_centroids, seed)
+    c_assign = _assign_udf(cents, 1)
+    q_assign = _assign_udf(cents, nprobe)
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("_list"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("_list"),
+    )
+    scored = c.join(F.broadcast(q), "_list").select(
+        query_id, corpus_id, cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def lsh_topk(

@@ -41,3 +41,41 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view for ``spark.sql`` use."""
     for t in TABLES:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    key_cols: list[str],
+    sort_cols: list[str],
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed, per-bucket-sorted table — the cluster
+    layout that makes every window/join keyed on ``key_cols`` a
+    ZERO-EXCHANGE plan (the Iceberg `bucket(N, conv_id)` partition
+    transform in production; Spark's bucketBy here, same contract).
+
+    The flagship window needs ``hashpartitioning(conv_id)`` + sort
+    ``(conv_id, ts, turn_idx)``; a table bucketed and sorted that way
+    satisfies both requirements at scan time, so the 10^12-turn feature
+    build touches NO shuffle at all (pinned by tests/test_plans.py::
+    test_bucketed_input_zero_exchange). ``path`` makes it an external
+    table (testable without a warehouse)."""
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *key_cols)
+        .sortBy(*sort_cols)
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table WITH its bucketing metadata (a bare
+    ``spark.read.parquet(path)`` would forget the layout and reintroduce
+    the exchange)."""
+    return spark.table(table)
