@@ -179,6 +179,26 @@ def measure_scaling(
     }
 
 
+def _warm_session(spark) -> None:
+    """Absorb one-time SESSION costs (JVM JIT/codegen, Python-worker
+    pool + Arrow init, noop-sink classloading) so they don't land on
+    whichever query happens to run first. Cold-start behavior is
+    documented in STATUS.md; per-query numbers report steady state."""
+    from pyspark.sql import functions as F
+
+    # lambda form: annotation-based inference can't see the local
+    # pandas import under `from __future__ import annotations`
+    _identity = F.pandas_udf(lambda s: s, "double")
+
+    (
+        spark.range(2_000_000)
+        .select(F.sum(_identity(F.col("id").cast("double"))).alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--flagship-only", action="store_true")
@@ -204,6 +224,7 @@ def main() -> None:
     data_path = ensure_bench_transcripts(sf_name)
 
     spark = get_spark("bench", cores=args.cores)
+    _warm_session(spark)
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         # timer covers CONSTRUCTION too: operators with driver-side
