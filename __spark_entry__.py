@@ -378,6 +378,34 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(d, threshold=0.8).select("doc_id").orderBy("doc_id")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for adjacent doc-id pairs — the verify
+    stage of the near-dup pipeline, oracle-checked end-to-end (string
+    shingles here so DuckDB can mirror them; production uses the
+    hash-shingle fast path, pinned equal in tests/test_dedup.py)."""
+    from turboxsl_spark.operators.dedup import shingles, tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    # tokens materialized into a bound column FIRST — inlining the
+    # tokenizer into the shingle transform re-runs the regex split per
+    # shingle access (interpreted lambdas have no CSE; measured 17s→2s)
+    sh = d.select("doc_id", tokenize(F.col("text")).alias("_toks")).select(
+        "doc_id", F.array_distinct(shingles(F.col("_toks"), 3)).alias("sh")
+    )
+    a = sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
+    b = sh.selectExpr("doc_id - 1 AS id_a", "doc_id AS id_b", "sh AS sh_b")
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.when(uni == 0, F.lit(1.0)).otherwise(inter.cast("double") / uni), 6
+        ).alias("jaccard"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 64-bit SimHash per document (rows-only: xxhash64
     has no DuckDB twin; determinism pinned in tests/test_dedup.py)."""
@@ -721,6 +749,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality score ≥ 0.5 AND
+    lang = en AND exact-dedup representative — the filter→dedup chain a
+    real corpus build runs, end-to-end oracle-checked. All map-side
+    column expressions + ONE shuffle (the dedup hash window)."""
+    from turboxsl_spark.functions.strings import normalize_space
+    from turboxsl_spark.functions.text_analysis import lang_id, quality_score, words_of
+
+    d = _t(spark, sf_dir, "documents")
+    # words materialized ONCE, shared by the 8 token lambdas across
+    # quality_score + lang_id (inlined splits re-run per element access)
+    scored = d.withColumn("_w", words_of("text")).select(
+        "doc_id",
+        quality_score(F.col("text"), words=F.col("_w")).alias("quality"),
+        lang_id(F.col("_w"), tokenized=True).alias("lang"),
+        F.md5(normalize_space(F.col("text"))).alias("_h"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    w = W.partitionBy("_h").orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "quality", "lang")
+    )
+
+
 def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 ltr:encode_base64 — a stub in the reference
     (/root/reference/src/functions.c:908-912 returns a constant);
@@ -780,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "response_latency": q_response_latency,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -787,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_salted": q_sessionize_salted,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "corpus_pipeline": q_corpus_pipeline,
         "base64": q_base64,
         "url_escape": q_url_escape,
     }
@@ -1042,6 +1098,82 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "base64": """
             SELECT doc_id, to_base64(text::BLOB) AS b64 FROM documents
+        """,
+        "corpus_pipeline": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       TRIM(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                FROM documents),
+            wq AS (
+                SELECT doc_id, text, norm,
+                       str_split(lower(norm), ' ') AS words,
+                       LENGTH(text) AS nc,
+                       LENGTH(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS letters
+                FROM n),
+            cq AS (
+                SELECT doc_id, norm, words,
+                       CAST(CASE WHEN nc BETWEEN 20 AND 20000 THEN 0.25 ELSE 0.0 END
+                        + CASE WHEN (CASE WHEN nc > 0 THEN letters::DOUBLE / nc ELSE 0.0 END) >= 0.6
+                               THEN 0.25 ELSE 0.0 END
+                        + CASE WHEN len(list_filter(words, x -> x IN
+                              ('the','and','of','to','in','is','that','it','was','for'))) >= 2
+                               THEN 0.25 ELSE 0.0 END
+                        + CASE WHEN (CASE WHEN len(words) > 0
+                                     THEN list_sum(list_transform(words, x -> LENGTH(x)))::DOUBLE / len(words)
+                                     ELSE 0.0 END) BETWEEN 2.5 AND 12.0 THEN 0.25 ELSE 0.0 END
+                        AS DOUBLE) AS quality
+                FROM wq),
+            cl AS (
+                SELECT doc_id,
+                       len(list_filter(words, x -> x IN ('the','and','of','to','in','is','that','it','was','for'))) AS s_en,
+                       len(list_filter(words, x -> x IN ('der','die','und','das','ist','ein','nicht','mit','sich','auf'))) AS s_de,
+                       len(list_filter(words, x -> x IN ('le','la','les','et','des','est','une','dans','que','pour'))) AS s_fr,
+                       len(list_filter(words, x -> x IN ('el','la','los','y','de','que','en','un','una','por'))) AS s_es,
+                       len(list_filter(words, x -> x IN ('il','la','che','di','e','un','una','per','con','del'))) AS s_it
+                FROM cq),
+            lang AS (
+                SELECT doc_id,
+                       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+                            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+                            WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+                            WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+                            WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+                            ELSE 'it' END AS lang
+                FROM cl),
+            kept AS (
+                SELECT cq.doc_id, cq.quality, lang.lang, md5(cq.norm) AS h
+                FROM cq JOIN lang USING (doc_id)
+                WHERE cq.quality >= 0.5 AND lang.lang = 'en'),
+            r AS (
+                SELECT doc_id, quality, lang,
+                       ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                FROM kept)
+            SELECT doc_id, quality, lang FROM r WHERE rn = 1
+        """,
+        "ngram_jaccard": """
+            WITH n AS (
+                SELECT doc_id, lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(norm) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE str_split(norm, ' ') END AS words
+                FROM n),
+            s AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+                                WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                                ELSE list_transform(range(1, len(words) - 1),
+                                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                           END) AS sh
+                FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+                              ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                                   / len(list_distinct(list_concat(a.sh, b.sh))) END, 6)
+                       AS jaccard
+            FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
         """,
         "current_corr": """
             SELECT e.user_id, e.event_id, e.value, g.max_purchase

@@ -75,7 +75,7 @@ def lang_id(c: Column | str, tokenized: bool = False) -> Column:
     return expr
 
 
-def quality_score(c: Column | str) -> Column:
+def quality_score(c: Column | str, words: Column | None = None) -> Column:
     """[0,1] doc-quality heuristic: length band + alpha ratio +
     stopword presence + moderate mean word length.
 
@@ -84,12 +84,18 @@ def quality_score(c: Column | str) -> Column:
       alpha_ratio : letters / chars ≥ 0.6
       has_stop    : ≥ 2 English-stopword hits
       word_len_ok : 2.5 ≤ mean word length ≤ 12
+
+    Pass a pre-materialized ``words_of`` column as ``words`` when
+    combining with other token-based functions in one projection —
+    the inlined split re-evaluates per element access inside the
+    interpreted filter/aggregate lambdas.
     """
     c = F.col(c) if isinstance(c, str) else c
     n = F.length(c)
     letters = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
     alpha_ratio = F.when(n > 0, letters.cast("double") / n).otherwise(F.lit(0.0))
-    words = _word_set(c)
+    if words is None:
+        words = _word_set(c)
     n_words = F.size(words)
     stop_hits = F.size(F.filter(words, lambda t: t.isin(*_LANG_STOPWORDS["en"])))
     mean_wlen = F.when(
