@@ -51,11 +51,14 @@ def global_rank(
     """
     spark = df.sparkSession
     order = list(order)
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = df.repartitionByRange(num_partitions, *order).withColumn(
-        "_gr_pid", F.spark_partition_id()
-    )
+    # no explicit partition count → AQE sizes the range exchange to the
+    # DATA (coalesces a 2k-row rank to a few partitions, spreads a
+    # 10^12-row one wide); pass num_partitions only to pin a layout
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions is not None
+        else df.repartitionByRange(*order)
+    ).withColumn("_gr_pid", F.spark_partition_id())
     if persist:
         # one materialization feeds both the count job and the rank job:
         # no double range-exchange, and partition ids cannot drift
