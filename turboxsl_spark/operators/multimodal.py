@@ -115,6 +115,61 @@ def extract_features(
     return df.mapInPandas(op, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_dim: int = 256, decoder: str = "fake"
+) -> DataFrame:
+    """Image-resize plumbing via ``mapInPandas`` (no shuffle).
+
+    The fake kernel computes the aspect-preserving target dimensions
+    (longest side → ``max_dim``, never upscales) and passes the payload
+    through; ``decoder="real"`` raises at the exact point a PIL
+    ``Image.open(...).thumbnail(...)`` call would plug in. Non-image
+    rows are filtered JVM-side before the Python stage."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image decode/resize (PIL) is not installed in "
+                    "this container; plug Image.open().thumbnail() in here"
+                )
+            ws, hs = [], []
+            for w, h in zip(pdf["width"], pdf["height"]):
+                if w is None or h is None or w <= 0 or h <= 0:
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                scale = min(1.0, max_dim / max(w, h))
+                ws.append(max(1, int(w * scale)))
+                hs.append(max(1, int(h * scale)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    imgs = df.where(F.col("kind") == "image").select(
+        "media_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return imgs.mapInPandas(op, schema=_RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: explode frame indexes 0, n, 2n, …
     (metadata-only — JVM-side sequence; the per-frame decode would reuse
