@@ -173,6 +173,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "fact_value_asof")
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 following:: (ref src/xpath.c:409-428): the EARLIEST
+    'click'-class fact strictly after each event timestamp — the
+    reverse as-of (non-PIT lookahead, the _future-column discipline)."""
+    from turboxsl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("fact_id"),
+        F.col("value").alias("fact_value"),
+    )
+    spine = ev.select("user_id", "event_id", "ts")
+    out = asof_join(
+        spine,
+        facts,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["fact_value"],
+        strict=True,
+        fact_seq_col="fact_id",
+        fact_ts_out=None,
+        direction="forward",
+    )
+    return out.select(
+        "user_id", "event_id", F.col("fact_value_asof").alias("fact_value_next")
+    )
+
+
 def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 skew note applied to the CORE operator: time-bucket salted
     two-phase as-of join (1-day chunks → ~30 buckets per user over the
@@ -809,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "forward_fill": q_forward_fill,
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
         "asof_salted": q_asof_salted,
         "union_all": q_union_all,
         "sort_multikey": q_sort_multikey,
@@ -944,6 +973,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM u)
             SELECT user_id, spine_event_id AS event_id, fact_value_asof
             FROM f WHERE side = 0
+        """,
+        "asof_forward": """
+            WITH u AS (
+                SELECT user_id, ts, 0 AS side, event_id AS seq,
+                       value AS fact_value, NULL::BIGINT AS spine_event_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, 0 AS seq,
+                       NULL::DOUBLE AS fact_value, event_id AS spine_event_id
+                FROM events),
+            f AS (
+                SELECT user_id, spine_event_id, side,
+                       FIRST_VALUE(fact_value IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, side, seq
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS fact_value_next
+                FROM u)
+            SELECT user_id, spine_event_id AS event_id, fact_value_next
+            FROM f WHERE side = 1
         """,
         "union_all": """
             SELECT l_orderkey, l_linenumber, 'hi' AS src FROM lineitem WHERE l_quantity >= 45

@@ -175,6 +175,56 @@ def test_null_fact_values_fill_atomically(spark, frames, strict):
     assert want["value_asof"].isna().sum() > 0
 
 
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_forward_matches_oracle(spark, frames, strict):
+    """direction='forward' = following:: — earliest fact at/after each
+    spine ts, ties resolved the mirror way (lowest seq wins)."""
+    spine, facts = frames
+    got = asof_join(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        strict=strict,
+        fact_seq_col="fact_id",
+        direction="forward",
+    ).toPandas()
+    want = reference_asof(
+        spine, facts, "conv_id", "ts", ["value", "state"],
+        strict=strict, seq_col="fact_id", direction="forward",
+    )
+    got["value_asof"] = got["value_asof"].astype("float64")
+    want["value_asof"] = want["value_asof"].astype("float64")
+    assert_frames_match(
+        got, want, keys=["conv_id", "turn_idx"], float_cols=["value_asof"]
+    )
+
+
+def test_asof_forward_tolerance(spark, frames):
+    spine, facts = frames
+    got = asof_join(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value"],
+        fact_seq_col="fact_id",
+        tolerance_s=500.0,
+        direction="forward",
+    ).toPandas()
+    want = reference_asof(
+        spine, facts, "conv_id", "ts", ["value"],
+        seq_col="fact_id", direction="forward",
+    )
+    ahead = (want["ts_fact_asof"] - want["ts"]).dt.total_seconds()
+    want.loc[ahead > 500.0, "value_asof"] = None
+    want.loc[ahead > 500.0, "ts_fact_asof"] = pd.NaT
+    got["value_asof"] = got["value_asof"].astype("float64")
+    want["value_asof"] = want["value_asof"].astype("float64")
+    assert_frames_match(got, want, keys=["conv_id", "turn_idx"], float_cols=["value_asof"])
+
+
 def test_asof_no_fact_is_null(spark, frames):
     spine, facts = frames
     facts_none = facts[facts["conv_id"] == "__nope__"]

@@ -57,14 +57,22 @@ def _union_sides(
     value_cols: Sequence[str],
     strict: bool,
     fact_seq_col: str | None,
+    direction: str = "backward",
 ) -> tuple[DataFrame, list[str], int]:
     """Tag + union both sides; the matched fact rides ONE struct column.
 
     Returns (unioned, spine_cols, spine_rank).
     """
     spine_cols = spine.columns
-    # side rank: smaller sorts first at equal ts
-    fact_rank = 0 if not strict else 1
+    # side rank: smaller sorts first at equal ts. Backward looks at the
+    # frame (-inf, current]: an equal-ts fact is VISIBLE iff it sorts
+    # before the spine row. Forward looks at [current, +inf): an
+    # equal-ts fact is visible iff it sorts AFTER the spine row — so
+    # the strictness→rank mapping flips with direction.
+    if direction == "backward":
+        fact_rank = 0 if not strict else 1
+    else:
+        fact_rank = 1 if not strict else 0
     spine_rank = 1 - fact_rank
     seq = (
         F.col(fact_seq_col).cast("long") if fact_seq_col else F.lit(0).cast("long")
@@ -101,16 +109,20 @@ def _project_out(
     fact_ts_out: str | None,
     tolerance_s: float | None,
     fill_col: str = "_ff",
+    direction: str = "backward",
 ) -> DataFrame:
     ff_ts = F.col(f"{fill_col}._fts")
     if tolerance_s is not None:
         # freshness judged on the matched fact's own timestamp — the
         # same struct the values come from, so a stale fact nulls out
         # values AND timestamp together
-        fresh = F.unix_micros(ff_ts.cast("timestamp")) >= (
-            F.unix_micros(F.col("_asof_ts").cast("timestamp"))
-            - F.lit(int(tolerance_s * 1_000_000))
-        )
+        tol = F.lit(int(tolerance_s * 1_000_000))
+        spine_us = F.unix_micros(F.col("_asof_ts").cast("timestamp"))
+        fact_us = F.unix_micros(ff_ts.cast("timestamp"))
+        if direction == "backward":
+            fresh = fact_us >= spine_us - tol
+        else:
+            fresh = fact_us <= spine_us + tol
         val = lambda c: F.when(fresh, F.col(f"{fill_col}._v_{c}"))
         ts_val = F.when(fresh, ff_ts)
     else:
@@ -134,37 +146,57 @@ def asof_join(
     fact_ts_out: str | None = "ts_fact_asof",
     fact_seq_col: str | None = None,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Attach latest-preceding fact values to every spine row.
+    """Attach the latest-preceding (or, with ``direction="forward"``,
+    earliest-following) fact values to every spine row.
+
+    ``backward`` is the ``preceding::`` axis (latest fact at/before the
+    spine ts); ``forward`` is ``following::`` (reference
+    ``src/xpath.c:409-428``): the EARLIEST fact at/after the spine ts —
+    same single-sort union plan with the frame reversed
+    (``first(ignorenulls) over [current, +inf)``). Forward features are
+    non-PIT by nature (they look into the future); callers own the
+    leakage discipline exactly as with ``lead``/``_future`` columns.
 
     Returns the spine with ``<value><suffix>`` columns (NULL when no
-    fact precedes — the analogue of ``key()`` returning an empty
+    fact matches — the analogue of ``key()`` returning an empty
     nodeset) and optionally the matched fact timestamp.
 
     ``fact_seq_col`` (e.g. an event id) breaks ties among facts with
-    identical timestamps deterministically: the highest wins.
+    identical timestamps deterministically: backward picks the highest,
+    forward the lowest.
 
-    ``tolerance_s`` bounds the lookback (pd.merge_asof-style): a fact
-    older than ``spine.ts - tolerance_s`` is treated as absent — stale
-    features become NULL instead of silently ancient.
+    ``tolerance_s`` bounds the lookback/lookahead (pd.merge_asof-style):
+    a fact farther than ``tolerance_s`` from the spine ts is treated as
+    absent — stale features become NULL instead of silently ancient.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in facts.columns if c not in keys and c != ts_col]
 
     unioned, spine_cols, spine_rank = _union_sides(
-        spine, facts, keys, ts_col, value_cols, strict, fact_seq_col
+        spine, facts, keys, ts_col, value_cols, strict, fact_seq_col, direction
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_asof_ts", "_side", "_seq")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        "*", F.last("_fact", ignorenulls=True).over(w).alias("_ff")
-    )
+    ordered = Window.partitionBy(*keys).orderBy("_asof_ts", "_side", "_seq")
+    if direction == "backward":
+        w = ordered.rowsBetween(Window.unboundedPreceding, 0)
+        fill = F.last("_fact", ignorenulls=True).over(w)
+    else:
+        w = ordered.rowsBetween(0, Window.unboundedFollowing)
+        fill = F.first("_fact", ignorenulls=True).over(w)
+    filled = unioned.select("*", fill.alias("_ff"))
     return _project_out(
-        filled, spine_cols, spine_rank, value_cols, suffix, fact_ts_out, tolerance_s
+        filled,
+        spine_cols,
+        spine_rank,
+        value_cols,
+        suffix,
+        fact_ts_out,
+        tolerance_s,
+        direction=direction,
     )
 
 

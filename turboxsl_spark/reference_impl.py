@@ -71,8 +71,10 @@ def reference_asof(
     value_cols: list[str],
     strict: bool = False,
     seq_col: str | None = None,
+    direction: str = "backward",
 ) -> pd.DataFrame:
-    """O(n·m) per-key as-of oracle: latest fact at/before each spine ts."""
+    """O(n·m) per-key as-of oracle: latest fact at/before each spine ts
+    (``backward``) or earliest fact at/after it (``forward``)."""
     out = spine.copy().reset_index(drop=True)
     for c in value_cols:
         out[f"{c}_asof"] = None
@@ -85,12 +87,15 @@ def reference_asof(
         g = grouped.get(row[on])
         if g is None:
             continue
-        mask = g[ts_col] < row[ts_col] if strict else g[ts_col] <= row[ts_col]
+        if direction == "backward":
+            mask = g[ts_col] < row[ts_col] if strict else g[ts_col] <= row[ts_col]
+        else:
+            mask = g[ts_col] > row[ts_col] if strict else g[ts_col] >= row[ts_col]
         sub = g[mask]
         if len(sub) == 0:
             continue
-        last = sub.iloc[-1]
+        picked = sub.iloc[-1] if direction == "backward" else sub.iloc[0]
         for c in value_cols:
-            out.at[i, f"{c}_asof"] = last[c]
-        out.at[i, "ts_fact_asof"] = last[ts_col]
+            out.at[i, f"{c}_asof"] = picked[c]
+        out.at[i, "ts_fact_asof"] = picked[ts_col]
     return out
