@@ -151,6 +151,42 @@ def test_bucketed_input_zero_exchange(spark, tx, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS tx_bucketed_gate")
 
 
+def test_asof_forward_single_sort_no_theta_join(spark):
+    """The forward (following::) direction must keep the same shape:
+    zero Join nodes, one exchange, one sort."""
+    from turboxsl_spark.operators.asof import asof_join
+
+    spine = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("conv_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").cast("int").alias("turn_idx"),
+    )
+    facts = spark.range(10).select(
+        F.concat(F.lit("k"), F.col("id")).alias("conv_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("value"),
+    )
+    out = asof_join(
+        spine, facts, on="conv_id", ts_col="ts", value_cols=["value"],
+        direction="forward",
+    )
+    plan = plan_of(out)
+    assert "Join" not in plan, plan[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+
+def test_asof_salted_windows_are_bucket_bounded(spark):
+    """The salted as-of's heavy window must partition on (key, bucket)
+    — never on the bare key over the full union (that would be the
+    mega-key single-task wall the salting exists to prevent)."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_asof_salted(spark, SF_DIR))
+    # the full-union window carries the bucket in its partition spec
+    assert re.search(r"windowspecdefinition\(user_id#\d+L?, _bucket#\d+L", plan), plan[:4000]
+
+
 def test_exact_dedup_partial_aggregation(spark):
     """Hash-groupBy dedup keeps map-side partial aggregation (two
     HashAggregate levels around one exchange)."""
