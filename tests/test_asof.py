@@ -225,6 +225,44 @@ def test_asof_forward_tolerance(spark, frames):
     assert_frames_match(got, want, keys=["conv_id", "turn_idx"], float_cols=["value_asof"])
 
 
+@pytest.mark.parametrize("salted", [False, True])
+def test_asof_prefix_consistency_no_leakage(spark, frames, salted):
+    """Zero temporal leakage, stated as prefix-consistency: truncating
+    the FACT stream at any time T must not change the as-of output for
+    spine rows at or before T (a strict as-of at ts<=T only ever reads
+    facts with ts<T<=T). Holds for the plain and the salted operator."""
+    spine, facts = frames
+    T = spine["ts"].median()
+    kw = dict(
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value"],
+        strict=True,
+        fact_seq_col="fact_id",
+    )
+    op = asof_join_salted if salted else asof_join
+    if salted:
+        kw["chunk_s"] = 300.0
+    full = (
+        op(spark.createDataFrame(spine), spark.createDataFrame(facts), **kw)
+        .toPandas()
+    )
+    full = full[full["ts"] <= T]
+    trunc = op(
+        spark.createDataFrame(spine[spine["ts"] <= T]),
+        spark.createDataFrame(facts[facts["ts"] <= T]),
+        **kw,
+    ).toPandas()
+    for d in (full, trunc):
+        d["value_asof"] = d["value_asof"].astype("float64")
+    assert_frames_match(
+        full.reset_index(drop=True),
+        trunc.reset_index(drop=True),
+        keys=["conv_id", "turn_idx"],
+        float_cols=["value_asof"],
+    )
+
+
 def test_asof_no_fact_is_null(spark, frames):
     spine, facts = frames
     facts_none = facts[facts["conv_id"] == "__nope__"]
