@@ -56,6 +56,92 @@ def test_stateful_turn_features_match_batch(spark, tmp_path):
     assert got["position"].tolist() == want["position"].tolist()
 
 
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """The streaming as-of (state = latest fact per key) must equal the
+    batch asof_join (strict) row-for-row when the union stream arrives
+    in event-time order; one file per trigger forces state carries."""
+    import numpy as np
+
+    from turboxsl_spark.operators.asof import asof_join
+    from turboxsl_spark.streaming.stateful import run_streaming_asof_from_dir
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2025-06-01")
+    rows = []
+    for k in range(8):
+        key = f"c{k}"
+        n_f, n_s = int(rng.integers(3, 25)), int(rng.integers(5, 40))
+        f_ts = np.sort(rng.integers(0, 50_000, n_f))
+        s_ts = np.sort(rng.integers(0, 50_000, n_s))
+        # force exact ties so strictness matters
+        if n_f > 2 and n_s > 2:
+            f_ts[:2] = s_ts[:2]
+            f_ts = np.sort(f_ts)
+        for i, t in enumerate(f_ts):
+            # strict: facts sort AFTER spine at equal ts → side 1
+            rows.append((key, base + pd.Timedelta(seconds=int(t)), 1, i,
+                         float(rng.normal()), None))
+        for i, t in enumerate(s_ts):
+            rows.append((key, base + pd.Timedelta(seconds=int(t)), 0, 0,
+                         None, k * 1000 + i))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "ts", "side", "seq", "fact_value", "spine_id"]
+    )
+    # parquet written at us precision so the stream schema's Timestamp
+    # matches the physical type (ns-NTZ would mismatch)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["side"] = pdf["side"].astype("int32")
+    pdf["seq"] = pdf["seq"].astype("int64")
+    pdf["spine_id"] = pdf["spine_id"].astype("Int64")
+    src = str(tmp_path / "asof_src")
+    os.makedirs(src)
+    pdf = pdf.sort_values(["ts", "side", "seq"], kind="mergesort").reset_index(drop=True)
+    n_files = 6
+    bounds = [int(len(pdf) * i / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+            f"{src}/part-{i:02d}.parquet", index=False
+        )
+
+    got = (
+        run_streaming_asof_from_dir(spark, src, query_name="t_asof")
+        .toPandas()
+        .sort_values(["conv_id", "spine_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    facts = pdf[pdf["spine_id"].isna()][["conv_id", "ts", "seq", "fact_value"]]
+    spine = pdf[pdf["spine_id"].notna()][["conv_id", "ts", "spine_id"]]
+    want = (
+        asof_join(
+            spark.createDataFrame(spine),
+            spark.createDataFrame(facts),
+            on="conv_id",
+            ts_col="ts",
+            value_cols=["fact_value"],
+            strict=True,
+            fact_seq_col="seq",
+            fact_ts_out="ts_fact_asof",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "spine_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    a = got["fact_value_asof"].astype("float64").to_numpy()
+    b = want["fact_value_asof"].astype("float64").to_numpy()
+    import numpy.testing as npt
+
+    both_nan = pd.isna(a) & pd.isna(b)
+    npt.assert_allclose(a[~both_nan], b[~both_nan], rtol=1e-12)
+    assert (pd.isna(a) == pd.isna(b)).all()
+    assert (
+        got["ts_fact_asof"].isna().to_numpy() == want["ts_fact_asof"].isna().to_numpy()
+    ).all()
+    assert (got["ts_fact_asof"].dropna().to_numpy()
+            == want["ts_fact_asof"].dropna().to_numpy()).all()
+
+
 def test_streaming_sessions_match_batch(spark, tmp_path):
     pdf = gen_transcripts_pdf(n_convs=12, seed=21, mega_frac=0.0)
     src = str(tmp_path / "stream_src")

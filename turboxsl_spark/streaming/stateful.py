@@ -93,6 +93,127 @@ def streaming_turn_features(
     )
 
 
+ASOF_IN_SCHEMA = (
+    "conv_id string, ts timestamp, side int, seq long, "
+    "fact_value double, spine_id long"
+)
+ASOF_OUT_SCHEMA = (
+    "conv_id string, spine_id long, ts timestamp, "
+    "fact_value_asof double, ts_fact_asof timestamp"
+)
+# carried per key: the latest fact seen so far (micros, seq, value)
+ASOF_STATE_SCHEMA = "fact_us long, fact_seq long, fact_value double"
+
+
+def _make_asof_fn():
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            st_us, st_seq, st_val = state.get
+        else:
+            st_us, st_seq, st_val = None, None, None
+        outs = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # same total order as the batch operator's single sort:
+            # (ts, side, seq) — the caller encodes strictness in `side`
+            pdf = pdf.sort_values(["ts", "side", "seq"], kind="mergesort")
+            us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            is_fact = pdf["spine_id"].isna().to_numpy()
+            spine = ~is_fact
+            # fact arrays with the carried state at index 0 (index k
+            # below addresses: 0 → carry, i → i-th in-batch fact)
+            f_us = np.concatenate([[st_us if st_us is not None else -1], us[is_fact]])
+            f_val = np.concatenate(
+                [
+                    [st_val if st_val is not None else np.nan],
+                    pdf["fact_value"].to_numpy(dtype="float64")[is_fact],
+                ]
+            )
+            k = np.cumsum(is_fact)[spine]  # latest fact index per spine row
+            has_carry = st_us is not None
+            valid = (k > 0) | has_carry
+            vals = f_val[k]
+            fts = f_us[k]
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[spine],
+                    "spine_id": pdf["spine_id"].to_numpy()[spine],
+                    "ts": pdf["ts"].to_numpy()[spine],
+                    "fact_value_asof": np.where(valid, vals, np.nan),
+                    "ts_fact_asof": pd.to_datetime(
+                        np.where(valid, fts, -1), unit="us"
+                    ),
+                }
+            )
+            out.loc[~valid, "fact_value_asof"] = None
+            out.loc[~valid, "ts_fact_asof"] = pd.NaT
+            outs.append(out)
+            if is_fact.any():
+                last_i = np.where(is_fact)[0][-1]
+                st_us = int(us[last_i])
+                st_seq = int(pdf["seq"].to_numpy()[last_i])
+                v = pdf["fact_value"].to_numpy(dtype="float64")[last_i]
+                st_val = None if v != v else float(v)
+        if st_us is not None:
+            state.update((st_us, st_seq if st_seq is not None else 0, st_val))
+        yield from outs
+
+    return fn
+
+
+def streaming_asof(unioned: DataFrame) -> DataFrame:
+    """Streaming as-of join: the batch operator's union+sort form with
+    the forward-fill state (latest fact per key) carried in the state
+    store across micro-batches.
+
+    Input contract = the batch ``_union_sides`` shape flattened to
+    ``ASOF_IN_SCHEMA``: fact rows carry ``fact_value`` (``spine_id``
+    NULL), spine rows carry ``spine_id``; ``side`` encodes tie order
+    (strict: facts AFTER spine at equal ts, i.e. fact side 1/spine 0).
+    Event-time-ordered arrival per key across micro-batches, as with
+    ``streaming_turn_features``; equal-ts ties within one batch are
+    resolved by the same (ts, side, seq) sort as the batch plan.
+    Emits one row per spine row with the latest-preceding fact value
+    and timestamp. Batch-parity is pinned in tests/test_streaming.py.
+    Caveat (floats-only surface): a fact whose value is NULL surfaces
+    as NaN here (Arrow float64 batch), where the batch operator yields
+    NULL — use the batch path when that distinction matters.
+    """
+    return unioned.groupBy("conv_id").applyInPandasWithState(
+        _make_asof_fn(),
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_asof_from_dir(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str = "asof_out",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drive a parquet-dir union stream (ASOF_IN_SCHEMA) through the
+    streaming as-of into a memory sink (sandbox smoke path)."""
+    stream = (
+        spark.readStream.schema(ASOF_IN_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    out = streaming_asof(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stateful_from_dir(
     spark: SparkSession,
     src_dir: str,
