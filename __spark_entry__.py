@@ -228,6 +228,36 @@ def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "fact_value_asof")
 
 
+def q_asof_salted_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4/§2.6 composed: the skew-safe salted two-phase as-of in the
+    FORWARD (following::) direction — carry is the first fact of
+    following buckets, back-filled. Checked against the SAME oracle as
+    asof_forward: salt-invariance is the correctness contract."""
+    from turboxsl_spark.operators.asof import asof_join_salted
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("fact_id"),
+        F.col("value").alias("fact_value"),
+    )
+    spine = ev.select("user_id", "event_id", "ts")
+    out = asof_join_salted(
+        spine,
+        facts,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["fact_value"],
+        strict=True,
+        fact_seq_col="fact_id",
+        fact_ts_out=None,
+        chunk_s=86400.0,
+        direction="forward",
+    )
+    return out.select(
+        "user_id", "event_id", F.col("fact_value_asof").alias("fact_value_next")
+    )
+
+
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 XPath union — concatenation, NO dedup (unionAll semantics)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -839,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "asof_salted": q_asof_salted,
+        "asof_salted_fwd": q_asof_salted_fwd,
         "union_all": q_union_all,
         "sort_multikey": q_sort_multikey,
         "string_ops": q_string_ops,
@@ -885,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
     # salt-invariance contract: the salted as-of is checked against the
     # IDENTICAL SQL as the plain operator
     d["asof_salted"] = d["asof_join"]
+    d["asof_salted_fwd"] = d["asof_forward"]
     return d
 
 

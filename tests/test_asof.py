@@ -276,3 +276,74 @@ def test_asof_no_fact_is_null(spark, frames):
     assert got["value_asof"].isna().all()
     assert got["state_asof"].isna().all()
     assert len(got) == len(spine)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("chunk_s", [500.0, 137.0])
+def test_asof_salted_forward_matches_plain(spark, frames, strict, chunk_s):
+    """Forward salt-invariance: the time-bucketed two-phase FORWARD
+    as-of (carry = first fact of following buckets, back-filled) must
+    equal the plain forward form for any chunk size."""
+    spine, facts = frames
+    kw = dict(
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        strict=strict,
+        fact_seq_col="fact_id",
+        direction="forward",
+    )
+    plain = asof_join(
+        spark.createDataFrame(spine), spark.createDataFrame(facts), **kw
+    ).toPandas()
+    salted = asof_join_salted(
+        spark.createDataFrame(spine),
+        spark.createDataFrame(facts),
+        chunk_s=chunk_s,
+        **kw,
+    ).toPandas()
+    for d in (plain, salted):
+        d["value_asof"] = d["value_asof"].astype("float64")
+    assert_frames_match(
+        salted, plain, keys=["conv_id", "turn_idx"], float_cols=["value_asof"]
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_salted_keeps_null_keys_and_null_ts(spark, frames, direction):
+    """Salt invariance must hold on NULL-keyed and NULL-ts spine rows:
+    phase 2's join is null-safe, so those rows survive with the same
+    NULL-group window semantics as the plain operator (a plain inner
+    equi-join would silently DROP them)."""
+    spine, facts = frames
+    spine = spine.copy()
+    spine["conv_id"] = spine["conv_id"].astype(object)
+    spine["ts"] = spine["ts"].astype("datetime64[us]")
+    extra = pd.DataFrame(
+        {
+            "conv_id": [None, None, "k0", "k1"],
+            "ts": pd.to_datetime(
+                ["2025-03-01 00:10:00", "2025-03-01 01:00:00", pd.NaT, pd.NaT]
+            ).astype("datetime64[us]"),
+            "turn_idx": [900, 901, 902, 903],
+        }
+    )
+    spine = pd.concat([spine, extra], ignore_index=True)
+    kw = dict(
+        on="conv_id",
+        ts_col="ts",
+        value_cols=["value", "state"],
+        fact_seq_col="fact_id",
+        direction=direction,
+    )
+    sdf = spark.createDataFrame(spine)
+    fdf = spark.createDataFrame(facts)
+    plain = asof_join(sdf, fdf, **kw).toPandas()
+    salted = asof_join_salted(sdf, fdf, chunk_s=300.0, **kw).toPandas()
+    assert len(plain) == len(spine)
+    assert len(salted) == len(spine)
+    for d in (plain, salted):
+        d["value_asof"] = d["value_asof"].astype("float64")
+    assert_frames_match(
+        salted, plain, keys=["turn_idx"], float_cols=["value_asof"]
+    )

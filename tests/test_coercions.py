@@ -122,6 +122,14 @@ def test_substring_fractional_xpath_spec(spark):
         (xpath_substring(s, -inf, inf), ""),
         (xpath_substring(s, 3.7), "45"),
         (xpath_substring(s, 99.0), ""),
+        # INT args with start <= 0 / negative length must take the
+        # XPath path too, not Spark's substring (which counts negative
+        # starts from the END of the string and treats 0 as 1)
+        (xpath_substring(s, 0, 3), "12"),
+        (xpath_substring(s, -1, 3), "1"),
+        (xpath_substring(s, -5, 3), ""),
+        (xpath_substring(s, 2, -1), ""),
+        (xpath_substring(s, 0), "12345"),
     ]
     got = df.select(*[c.alias(f"c{i}") for i, (c, _) in enumerate(cases)]).collect()[0]
     for i, (_, want) in enumerate(cases):

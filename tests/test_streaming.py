@@ -179,3 +179,156 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert len(got_pdf) == len(want), f"{len(got_pdf)} sessions != batch {len(want)}"
     assert got_pdf["n_turns"].tolist() == want["n_turns"].tolist()
     assert got_pdf["total_chars"].tolist() == want["total_chars"].tolist()
+
+
+def test_stateful_chunk_boundary_out_of_order(spark, tmp_path):
+    """Out-of-order rows WITHIN one micro-batch must be sorted across
+    Arrow chunk boundaries: with arrow.maxRecordsPerBatch=5 a single
+    key's 60 shuffled rows arrive as ~12 chunks, and a per-chunk sort
+    would mis-sessionize any inversion straddling a boundary."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from turboxsl_spark.streaming.stateful import run_stateful_from_dir
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2025-06-01")
+    n = 60
+    ts = base + pd.to_timedelta(np.cumsum(rng.integers(1, 4000, n)), unit="s")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "turn_idx": np.arange(n, dtype="int32"),
+            "role": "user",
+            "text": "x",
+            "tool": pd.array([None] * n, dtype="string"),
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    src = str(tmp_path / "chunk_src")
+    os.makedirs(src)
+    shuffled.to_parquet(f"{src}/part-00.parquet", index=False)  # ONE micro-batch
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        got = (
+            run_stateful_from_dir(spark, src, query_name="t_chunks")
+            .toPandas()
+            .sort_values("turn_idx", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert not got["late"].any()
+    batch_df = spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+    w = W.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    want = (
+        with_session_id(batch_df, timeout_s=1800)
+        .withColumn("position", F.row_number().over(w))
+        .select("turn_idx", "session_id", "position")
+        .toPandas()
+        .sort_values("turn_idx", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["session_id"].tolist() == want["session_id"].tolist()
+    assert got["position"].tolist() == want["position"].tolist()
+
+
+def test_stateful_late_rows_flagged_not_applied(spark, tmp_path):
+    """A cross-batch event-time regression must surface as late=true
+    with NULL session/position, and the main stream must equal the
+    batch computation over the on-time rows only."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from turboxsl_spark.streaming.stateful import run_stateful_from_dir
+
+    base = pd.Timestamp("2025-06-01")
+    mk = lambda rows: pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).astype({"turn_idx": "int32", "tool": "string"})
+    # batch 1: turns at t=0s, 100s; batch 2: an on-time turn at 7200s
+    # plus a LATE turn at 50s (older than the carried watermark 100s)
+    b1 = mk([("c0", 0, "user", "x", None, base),
+             ("c0", 1, "user", "x", None, base + pd.Timedelta(seconds=100))])
+    b2 = mk([("c0", 2, "user", "x", None, base + pd.Timedelta(seconds=7200)),
+             ("c0", 9, "user", "late", None, base + pd.Timedelta(seconds=50))])
+    for b in (b1, b2):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    b1.to_parquet(f"{src}/part-00.parquet", index=False)
+    b2.to_parquet(f"{src}/part-01.parquet", index=False)
+
+    got = (
+        run_stateful_from_dir(spark, src, query_name="t_late")
+        .toPandas()
+        .sort_values("turn_idx", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    late = got[got["late"]]
+    assert late["turn_idx"].tolist() == [9]
+    assert late["session_id"].isna().all() and late["position"].isna().all()
+
+    ontime = got[~got["late"]]
+    pdf = pd.concat([b1, b2[b2["turn_idx"] != 9]], ignore_index=True)
+    batch_df = spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA)
+    w = W.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    want = (
+        with_session_id(batch_df, timeout_s=1800)
+        .withColumn("position", F.row_number().over(w))
+        .select("turn_idx", "session_id", "position")
+        .toPandas()
+        .sort_values("turn_idx", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert ontime["session_id"].tolist() == want["session_id"].tolist()
+    assert ontime["position"].tolist() == want["position"].tolist()
+
+
+def test_streaming_asof_late_spine_and_fact(spark, tmp_path):
+    """Late spine rows get late=true + NULL fill (latest-only state
+    cannot answer them); late facts are never applied to later spines."""
+    import numpy as np
+
+    from turboxsl_spark.streaming.stateful import run_streaming_asof_from_dir
+
+    base = pd.Timestamp("2025-06-01")
+    cols = ["conv_id", "ts", "side", "seq", "fact_value", "spine_id"]
+    sec = lambda s: base + pd.Timedelta(seconds=s)
+    # batch 1: fact v=1.0 @100, spine s0 @200 (fills 1.0)
+    b1 = pd.DataFrame(
+        [("c0", sec(100), 1, 0, 1.0, None), ("c0", sec(200), 0, 0, None, 0)],
+        columns=cols,
+    )
+    # batch 2: LATE fact v=9.0 @50, LATE spine s1 @60, on-time spine s2 @300
+    b2 = pd.DataFrame(
+        [("c0", sec(50), 1, 1, 9.0, None),
+         ("c0", sec(60), 0, 0, None, 1),
+         ("c0", sec(300), 0, 0, None, 2)],
+        columns=cols,
+    )
+    src = str(tmp_path / "asof_late_src")
+    os.makedirs(src)
+    for i, b in enumerate((b1, b2)):
+        b = b.copy()
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b["side"] = b["side"].astype("int32")
+        b["seq"] = b["seq"].astype("int64")
+        b["spine_id"] = b["spine_id"].astype("Int64")
+        b.to_parquet(f"{src}/part-{i:02d}.parquet", index=False)
+
+    got = (
+        run_streaming_asof_from_dir(spark, src, query_name="t_asof_late")
+        .toPandas()
+        .sort_values("spine_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["spine_id"].tolist() == [0, 1, 2]
+    assert got["late"].tolist() == [False, True, False]
+    assert got.loc[1, "fact_value_asof"] is None or pd.isna(got.loc[1, "fact_value_asof"])
+    # the late fact (9.0 @50) must NOT displace the carried 1.0 @100
+    assert got.loc[2, "fact_value_asof"] == 1.0

@@ -62,10 +62,18 @@ def xpath_substring(
     from turboxsl_spark.functions.numeric import xpath_round
 
     c = F.col(c) if isinstance(c, str) else c
+    # Fast path only where Spark's substring and XPath agree: start >= 1
+    # and length >= 0.  start <= 0 must take the double path (Spark counts
+    # negative starts from the END of the string; XPath clamps the window
+    # to position 1 and shortens the length), as must negative lengths.
     if (
         isinstance(start, int)
         and not isinstance(start, bool)
-        and (length is None or (isinstance(length, int) and not isinstance(length, bool)))
+        and start >= 1
+        and (
+            length is None
+            or (isinstance(length, int) and not isinstance(length, bool) and length >= 0)
+        )
     ):
         if length is None:
             return F.substring(c, start, 0x7FFFFFFF)

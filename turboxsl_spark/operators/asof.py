@@ -212,6 +212,7 @@ def asof_join_salted(
     fact_seq_col: str | None = None,
     tolerance_s: float | None = None,
     chunk_s: float = 86400.0,
+    direction: str = "backward",
 ) -> DataFrame:
     """Skew-safe as-of join: time-bucket salted two-phase merge.
 
@@ -226,26 +227,36 @@ def asof_join_salted(
                along the per-key bucket axis (one row per bucket —
                tiny), giving every bucket the carry-in fact of all
                previous buckets; rows whose local fill is NULL take
-               the carry.
+               the carry. With ``direction="forward"`` the axes flip:
+               each bucket's FIRST fact (``min_by``) is back-filled
+               from FOLLOWING buckets, the local window looks ahead.
 
     Tie semantics stay exact: a carried fact comes from a strictly
-    earlier bucket, so ``fact.ts < bucket_start <= spine.ts`` — the
+    earlier (backward) / later (forward) bucket, so the
     strict/inclusive distinction only matters at equal timestamps,
     which always share a bucket and are resolved by phase 1's
     ``(ts, side, seq)`` order. Salt-invariance vs the plain operator is
     property-tested in tests/test_asof.py and oracle-checked by the
-    driver's ``asof_salted`` query against the SAME SQL as ``asof_join``.
+    driver's ``asof_salted`` / ``asof_salted_fwd`` queries against the
+    SAME SQL as ``asof_join`` / ``asof_forward``.
+
+    NULL keys / NULL ts: phase 2's equi-join is NULL-SAFE (``<=>``),
+    so NULL-keyed or NULL-ts rows survive with the same NULL-group
+    window semantics as the plain operator (salt invariance holds on
+    them too — tested).
 
     ``chunk_s`` sets the skew bound: rows per task ≤ rows per
     ``(key, chunk_s)`` window. Pick it from the key's peak event rate
     (e.g. 1 day at 10^4 turns/day ≈ 10^4-row partitions).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in facts.columns if c not in keys and c != ts_col]
 
     unioned, spine_cols, spine_rank = _union_sides(
-        spine, facts, keys, ts_col, value_cols, strict, fact_seq_col
+        spine, facts, keys, ts_col, value_cols, strict, fact_seq_col, direction
     )
     chunk_us = int(chunk_s * 1_000_000)
     unioned = unioned.withColumn(
@@ -255,39 +266,64 @@ def asof_join_salted(
         ).cast("long"),
     )
 
+    backward = direction == "backward"
     # phase 1: local as-of within (key, bucket)
-    w_local = (
-        Window.partitionBy(*keys, "_bucket")
-        .orderBy("_asof_ts", "_side", "_seq")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ordered_local = Window.partitionBy(*keys, "_bucket").orderBy(
+        "_asof_ts", "_side", "_seq"
     )
-    local = unioned.withColumn(
-        "_ff_local", F.last("_fact", ignorenulls=True).over(w_local)
-    )
+    if backward:
+        w_local = ordered_local.rowsBetween(Window.unboundedPreceding, 0)
+        fill_local = F.last("_fact", ignorenulls=True).over(w_local)
+    else:
+        w_local = ordered_local.rowsBetween(0, Window.unboundedFollowing)
+        fill_local = F.first("_fact", ignorenulls=True).over(w_local)
+    local = unioned.withColumn("_ff_local", fill_local)
 
-    # phase 2: carry-in = last fact of any PREVIOUS bucket.
+    # phase 2: carry-in = last fact of any PREVIOUS bucket (backward)
+    # or first fact of any FOLLOWING bucket (forward).
     # bucket spine = every (key, bucket) present; buckets with facts
-    # contribute their last fact struct via max_by (atomic row pick).
-    bucket_last = (
+    # contribute their edge fact struct via max_by/min_by (atomic pick).
+    pick = F.max_by if backward else F.min_by
+    bucket_edge = (
         unioned.groupBy(*keys, "_bucket")
         .agg(
-            F.max_by(
+            pick(
                 "_fact", F.when(F.col("_fact").isNotNull(), F.struct("_asof_ts", "_seq"))
             ).alias("_bucket_fact")
         )
     )
-    w_carry = (
-        Window.partitionBy(*keys)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ordered_carry = Window.partitionBy(*keys).orderBy("_bucket")
+    if backward:
+        w_carry = ordered_carry.rowsBetween(Window.unboundedPreceding, -1)
+        fill_carry = F.last("_bucket_fact", ignorenulls=True).over(w_carry)
+    else:
+        w_carry = ordered_carry.rowsBetween(1, Window.unboundedFollowing)
+        fill_carry = F.first("_bucket_fact", ignorenulls=True).over(w_carry)
+    carry = bucket_edge.withColumn("_carry", fill_carry).select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        F.col("_bucket").alias("_ck_bucket"),
+        "_carry",
     )
-    carry = bucket_last.withColumn(
-        "_carry", F.last("_bucket_fact", ignorenulls=True).over(w_carry)
-    ).select(*keys, "_bucket", "_carry")
 
-    filled = local.join(carry, [*keys, "_bucket"]).withColumn(
-        "_ff", F.coalesce("_ff_local", "_carry")
+    # NULL-SAFE equi-join (still a hash/sort-merge equi-join in Spark):
+    # a plain inner join on [*keys, _bucket] would DROP rows whose key
+    # or ts is NULL, breaking salt invariance vs the plain operator,
+    # which keeps them (window partitioning groups NULLs).
+    cond = F.col("_bucket").eqNullSafe(F.col("_ck_bucket"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+    filled = (
+        local.join(carry, cond)
+        .drop("_ck_bucket", *[f"_ck_{k}" for k in keys])
+        .withColumn("_ff", F.coalesce("_ff_local", "_carry"))
     )
     return _project_out(
-        filled, spine_cols, spine_rank, value_cols, suffix, fact_ts_out, tolerance_s
+        filled,
+        spine_cols,
+        spine_rank,
+        value_cols,
+        suffix,
+        fact_ts_out,
+        tolerance_s,
+        direction=direction,
     )

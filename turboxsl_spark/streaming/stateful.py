@@ -13,11 +13,18 @@ reference is batch-only; this is the upgrade path the brief names).
 Semantics contract (tested vs batch in tests/test_streaming.py): if
 turns arrive in event-time order (per key), the streamed
 (session_id, position) stream equals the batch window computation
-row-for-row. Out-of-order arrivals within one micro-batch are sorted
-before state application; cross-batch regressions are a data-contract
-violation (use the session_window path when late data matters).
+row-for-row. ALL Arrow chunks of a key's micro-batch are concatenated
+and sorted ONCE before state application (a key's rows can straddle
+chunk boundaries at arrow.maxRecordsPerBatch, so per-chunk sorting
+would mis-order out-of-order rows that land in different chunks).
+Cross-batch event-time regressions (a row older than the carried state
+watermark) are NOT silently mis-sessionized: they are emitted with
+``late = true`` and NULL computed fields, and counted in the carried
+state (``late_count``), so the main (``late = false``) stream stays
+correct and the violation is observable. Use the session_window path
+when late data must be merged rather than flagged.
 
-State size: 3 scalars per live conversation — O(live keys), bounded by
+State size: 4 scalars per live conversation — O(live keys), bounded by
 the state-store TTL you configure in production.
 """
 
@@ -31,9 +38,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from turboxsl_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
 OUT_SCHEMA = (
-    "conv_id string, turn_idx int, ts timestamp, session_id int, position int"
+    "conv_id string, turn_idx int, ts timestamp, session_id int, position int, "
+    "late boolean"
 )
-STATE_SCHEMA = "last_us long, session_id int, position int"
+STATE_SCHEMA = "last_us long, session_id int, position int, late_count int"
 
 
 def _make_turns_fn(timeout_s: float):
@@ -42,15 +50,41 @@ def _make_turns_fn(timeout_s: float):
     def fn(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.exists:
-            last_us, sess, pos = state.get
+            last_us, sess, pos, n_late = state.get
         else:
-            last_us, sess, pos = None, 0, 0
+            last_us, sess, pos, n_late = None, 0, 0, 0
+        # A key's micro-batch arrives as MULTIPLE Arrow chunks
+        # (arrow.maxRecordsPerBatch); concatenate and sort ONCE so
+        # out-of-order rows straddling a chunk boundary are ordered
+        # before state application.
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        # cross-batch regression: older than the carried watermark →
+        # side output (late=true, NULL fields), never mis-sessionized
+        late = (
+            us < last_us if last_us is not None else np.zeros(len(us), dtype=bool)
+        )
         outs = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        if late.any():
+            n_late += int(late.sum())
+            lp = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[late],
+                    "turn_idx": pdf["turn_idx"].to_numpy()[late],
+                    "ts": pdf["ts"].to_numpy()[late],
+                    "session_id": pd.array([None] * int(late.sum()), dtype="Int32"),
+                    "position": pd.array([None] * int(late.sum()), dtype="Int32"),
+                    "late": True,
+                }
+            )
+            outs.append(lp)
+            pdf = pdf.loc[~late]
+            us = us[~late]
+        if len(us):
             # vectorized gap sessionize continuing from carried state:
             # integer-microsecond gaps (the repo-wide exactness rule)
             prev = np.concatenate(
@@ -70,11 +104,12 @@ def _make_turns_fn(timeout_s: float):
                         "ts": pdf["ts"].to_numpy(),
                         "session_id": sids.astype("int32"),
                         "position": poss.astype("int32"),
+                        "late": False,
                     }
                 )
             )
         if last_us is not None:
-            state.update((last_us, sess, pos))
+            state.update((last_us, sess, pos, n_late))
         yield from outs
 
     return fn
@@ -99,28 +134,63 @@ ASOF_IN_SCHEMA = (
 )
 ASOF_OUT_SCHEMA = (
     "conv_id string, spine_id long, ts timestamp, "
-    "fact_value_asof double, ts_fact_asof timestamp"
+    "fact_value_asof double, ts_fact_asof timestamp, late boolean"
 )
 # carried per key: the latest fact seen so far (micros, seq, value)
-ASOF_STATE_SCHEMA = "fact_us long, fact_seq long, fact_value double"
+# plus the running count of cross-batch late arrivals
+ASOF_STATE_SCHEMA = "fact_us long, fact_seq long, fact_value double, late_count int"
 
 
 def _make_asof_fn():
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            st_us, st_seq, st_val = state.get
+            st_us, st_seq, st_val, n_late = state.get
         else:
-            st_us, st_seq, st_val = None, None, None
+            st_us, st_seq, st_val, n_late = None, None, None, 0
+        # concatenate ALL Arrow chunks of the key's micro-batch before
+        # the sort — a key's rows straddle chunk boundaries at
+        # arrow.maxRecordsPerBatch, and per-chunk sorting would apply
+        # state in the wrong event-time order
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # same total order as the batch operator's single sort:
+        # (ts, side, seq) — the caller encodes strictness in `side`
+        pdf = pdf.sort_values(["ts", "side", "seq"], kind="mergesort")
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        is_fact = pdf["spine_id"].isna().to_numpy()
         outs = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # same total order as the batch operator's single sort:
-            # (ts, side, seq) — the caller encodes strictness in `side`
-            pdf = pdf.sort_values(["ts", "side", "seq"], kind="mergesort")
-            us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            is_fact = pdf["spine_id"].isna().to_numpy()
-            spine = ~is_fact
+        # cross-batch regression vs the carried fact watermark: a late
+        # SPINE row cannot be answered from latest-only state (older
+        # facts are gone) → emit late=true + NULL fill; a late FACT row
+        # cannot retract already-emitted spines → count it, keep it out
+        # of the state update below (it never becomes "latest" anyway,
+        # but it must not poison the in-batch cumsum either)
+        late = (
+            us < st_us if st_us is not None else np.zeros(len(us), dtype=bool)
+        )
+        if late.any():
+            n_late += int(late.sum())
+            l_spine = late & ~is_fact
+            if l_spine.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": pdf["conv_id"].to_numpy()[l_spine],
+                            "spine_id": pdf["spine_id"].to_numpy()[l_spine],
+                            "ts": pdf["ts"].to_numpy()[l_spine],
+                            "fact_value_asof": np.nan,
+                            "ts_fact_asof": pd.NaT,
+                            "late": True,
+                        }
+                    )
+                )
+            pdf = pdf.loc[~late]
+            us = us[~late]
+            is_fact = is_fact[~late]
+        spine = ~is_fact
+        if len(us):
             # fact arrays with the carried state at index 0 (index k
             # below addresses: 0 → carry, i → i-th in-batch fact)
             f_us = np.concatenate([[st_us if st_us is not None else -1], us[is_fact]])
@@ -144,6 +214,7 @@ def _make_asof_fn():
                     "ts_fact_asof": pd.to_datetime(
                         np.where(valid, fts, -1), unit="us"
                     ),
+                    "late": False,
                 }
             )
             out.loc[~valid, "fact_value_asof"] = None
@@ -156,7 +227,7 @@ def _make_asof_fn():
                 v = pdf["fact_value"].to_numpy(dtype="float64")[last_i]
                 st_val = None if v != v else float(v)
         if st_us is not None:
-            state.update((st_us, st_seq if st_seq is not None else 0, st_val))
+            state.update((st_us, st_seq if st_seq is not None else 0, st_val, n_late))
         yield from outs
 
     return fn
@@ -176,6 +247,8 @@ def streaming_asof(unioned: DataFrame) -> DataFrame:
     resolved by the same (ts, side, seq) sort as the batch plan.
     Emits one row per spine row with the latest-preceding fact value
     and timestamp. Batch-parity is pinned in tests/test_streaming.py.
+    Cross-batch regressions surface with ``late = true`` (NULL fill for
+    spine rows; late facts are counted in state, never applied).
     Caveat (floats-only surface): a fact whose value is NULL surfaces
     as NaN here (Arrow float64 batch), where the batch operator yields
     NULL — use the batch path when that distinction matters.
