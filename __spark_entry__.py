@@ -791,12 +791,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads → mapInPandas decode stub →
-    typed feature vectors (rows-only; determinism pinned in tests)."""
+    """Multimodal decode: REAL in-container PNG/WAV kernels (stdlib
+    zlib/wave + numpy, operators/codecs.py) featurize image+audio rows
+    via mapInPandas; video rows take the documented fake stand-in (no
+    stdlib mp4 demuxer). Rows-only; kernels pinned in tests."""
     from turboxsl_spark.operators.multimodal import extract_features, gen_media
 
     media = gen_media(spark, n=48, seed=7)
-    out = extract_features(media)
+    real = extract_features(media.where(F.col("kind") != "video"), decoder="real")
+    fake = extract_features(media.where(F.col("kind") == "video"), decoder="fake")
+    out = real.unionByName(fake)
     return out.select(
         "media_id",
         "kind",

@@ -1,10 +1,12 @@
-"""Multimodal plumbing: Arrow binary batches through mapInPandas,
-deterministic fake decode, frame-sampling plan."""
+"""Multimodal: Arrow binary batches through mapInPandas, REAL in-container
+PNG/WAV decode kernels (stdlib zlib/wave + numpy), frame-sampling plan."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
+from turboxsl_spark.operators import codecs
 from turboxsl_spark.operators.multimodal import (
     FEATURE_DIM,
     extract_features,
@@ -18,6 +20,28 @@ def media(spark):
     return gen_media(spark, n=30).cache()
 
 
+def test_png_roundtrip_all_filters_and_depths():
+    """Encoder cycles filters 0-4 per row, so a >=5-row image proves
+    every unfilter path (None/Sub/Up/Average/Paeth) on gray/RGB/RGBA."""
+    rng = np.random.default_rng(3)
+    for shape in [(8, 5), (16, 12, 3), (9, 7, 4), (1, 1), (5, 1, 3)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = codecs.decode_png(codecs.encode_png(a))
+        assert b.shape == a.shape and (a == b).all(), shape
+    grad = (np.arange(64)[:, None] * 7 + np.arange(48)[None, :]).astype(np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(grad)) == grad).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(4)
+    mono = (np.sin(np.arange(4000) / 9) * 25000).astype(np.int16)
+    a, sr = codecs.decode_wav(codecs.encode_wav(mono, 16000))
+    assert sr == 16000 and (a[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32767, (700, 2)).astype(np.int16)
+    b, sr2 = codecs.decode_wav(codecs.encode_wav(stereo, 44100))
+    assert sr2 == 44100 and (b == stereo).all()
+
+
 def test_extract_features_shape_and_determinism(spark, media):
     a = extract_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
     b = extract_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
@@ -29,15 +53,49 @@ def test_extract_features_shape_and_determinism(spark, media):
     assert (a["n_bytes"] > 0).all()
 
 
-def test_real_decoder_is_explicit_stub(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|not installed"):
-        extract_features(media, decoder="real").collect()
+def test_real_decode_features_match_payload(spark, media):
+    """decoder='real' genuinely decodes: the width/height features of
+    every image row must equal the PNG header dims recorded in meta,
+    and the sample-rate feature of every audio row must equal meta's."""
+    got = (
+        extract_features(media.where("kind != 'video'"), decoder="real")
+        .toPandas()
+        .set_index("media_id")
+    )
+    meta = (
+        media.selectExpr(
+            "media_id", "kind", "meta.width AS w", "meta.height AS h",
+            "meta.sample_rate AS sr",
+        )
+        .where("kind != 'video'")
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert len(got) == len(meta) > 0
+    for mid, row in meta.iterrows():
+        f = np.asarray(got.loc[mid, "features"], dtype=np.float64)
+        assert (0.0 <= f).all() and (f <= 1.0).all()
+        if row["kind"] == "image":
+            assert round(f[0] * 4096) == row["w"]
+            assert round(f[1] * 4096) == row["h"]
+            # histogram fractions sum to 1
+            assert abs(f[5:].sum() - 1.0) < 1e-5
+        else:
+            assert round(f[0] * 48000) == row["sr"]
+            # spectral band fractions sum to 1
+            assert abs(f[4:].sum() - 1.0) < 1e-5
 
 
-def test_resize_images_aspect_and_bounds(spark, media):
+def test_real_video_decode_is_explicit_stub(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|demuxer"):
+        extract_features(media.where("kind = 'video'"), decoder="real").collect()
+
+
+@pytest.mark.parametrize("decoder", ["fake", "real"])
+def test_resize_images_aspect_and_bounds(spark, media, decoder):
     from turboxsl_spark.operators.multimodal import resize_images
 
-    out = resize_images(media, max_dim=100).toPandas()
+    out = resize_images(media, max_dim=100, decoder=decoder).toPandas()
     src = (
         media.where("kind = 'image'")
         .selectExpr("media_id", "meta.width AS w0", "meta.height AS h0")
@@ -56,8 +114,40 @@ def test_resize_images_aspect_and_bounds(spark, media):
             assert abs(r["height"] - int(h0 * scale)) <= 1
         else:
             assert (r["width"], r["height"]) == (w0, h0)
-    with pytest.raises(Exception, match="NotImplementedError|not installed"):
-        resize_images(media, decoder="real").collect()
+        if decoder == "real":
+            # output payload IS the resized image — decode and check
+            img = codecs.decode_png(bytes(r["payload"]))
+            assert img.shape[0] == r["height"] and img.shape[1] == r["width"]
+
+
+def test_resize_real_pixels_match_reference(spark, media):
+    """The re-encoded payload's pixels equal a local decode→nearest→
+    compare reference for one deterministic image."""
+    from turboxsl_spark.operators.multimodal import resize_images
+
+    src = (
+        media.where("kind = 'image'")
+        .select("media_id", "payload")
+        .toPandas()
+        .set_index("media_id")
+    )
+    out = (
+        resize_images(media, max_dim=40, decoder="real")
+        .toPandas()
+        .set_index("media_id")
+    )
+    checked = 0
+    for mid in out.index:
+        orig = codecs.decode_png(bytes(src.loc[mid, "payload"]))
+        h0, w0 = orig.shape[:2]
+        if max(h0, w0) <= 40:
+            continue
+        scale = 40 / max(h0, w0)
+        want = codecs.resize_nearest(orig, max(1, int(w0 * scale)), max(1, int(h0 * scale)))
+        got = codecs.decode_png(bytes(out.loc[mid, "payload"]))
+        assert (got == want).all()
+        checked += 1
+    assert checked > 0
 
 
 def test_frame_sample_plan(spark, media):
