@@ -135,3 +135,48 @@ def test_lsh_topk_recall(spark, corpus, vectors):
         hits += len(true & got)
         total += 5
     assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_ivf_corpus_assignment_is_jvm_side(spark, corpus):
+    """The corpus side of ivf_topk must never cross into Python: the
+    JVM argmax assignment plan has zero Arrow/Python eval nodes, it
+    agrees with the pandas-UDF assignment row-for-row, and the full
+    ivf_topk plan carries exactly ONE ArrowEvalPython (the tiny
+    broadcast query side)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from turboxsl_spark.operators.similarity import (
+        _assign_udf,
+        _kmeans_centroids,
+        ivf_assign_jvm,
+        ivf_topk,
+    )
+
+    vecs = np.stack(
+        [np.asarray(r[0], np.float64) for r in corpus.select("embedding").collect()]
+    )
+    cents = _kmeans_centroids(vecs[:200], 16, seed=7)
+
+    assigned = corpus.select(
+        "vec_id", ivf_assign_jvm(F.col("embedding"), cents).alias("jvm_list")
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    pandas_assign = _assign_udf(cents, 1)
+    both = (
+        assigned.join(
+            corpus.select(
+                "vec_id", F.element_at(pandas_assign("embedding"), 1).alias("py_list")
+            ),
+            "vec_id",
+        )
+        .toPandas()
+    )
+    assert (both["jvm_list"] == both["py_list"]).all()
+
+    queries = corpus.where("vec_id IN (10, 70)").selectExpr("vec_id AS q_id", "embedding")
+    full = ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=3, sample_size=240)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert fplan.count("ArrowEvalPython") == 1, fplan[:4000]

@@ -119,6 +119,22 @@ def _kmeans_centroids(
     return c
 
 
+def ivf_assign_jvm(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid list id, fully JVM-side: each centroid is a
+    plan-time literal array (same trick as ``random_hyperplane_bucket``),
+    the dots run in codegen, and ``array_max`` over ``(sim, -idx)``
+    structs picks the argmax (ties → smallest idx, matching
+    ``np.argmax``). Used for the CORPUS side of ``ivf_topk`` so corpus
+    embeddings never cross the executor↔Python boundary; argmax of the
+    dot product is scale-invariant in the vector, so the normalization
+    the pandas path applies is unnecessary here (centroids are unit)."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(F.struct(dot(vec, lit).alias("s"), F.lit(-i).alias("ni")))
+    return (-F.array_max(F.array(*entries))["ni"]).cast("int")
+
+
 def _assign_udf(centroids: np.ndarray, nprobe: int):
     """Arrow-vectorized nearest-centroid assignment: one numpy matmul
     per batch (beats k interpreted array-lambda dot products by far)."""
@@ -149,12 +165,17 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: trained coarse quantizer, inverted lists.
 
-    Train: a bounded corpus sample (``sample_size`` rows collected to
-    the driver — the same driver-traffic order as range-partition
-    sampling) fits k-means centroids, broadcast as plan-time literals
-    inside an Arrow UDF. Index: every corpus vector joins its single
-    nearest centroid (the inverted list id). Search: each query probes
-    its ``nprobe`` nearest lists; exact cosine inside, top-k per query.
+    Train: a bounded UNIFORM corpus sample (``df.sample`` sized off one
+    count — NOT ``limit()``, which takes the head of the first
+    partitions and would model only one region of a partition-ordered
+    corpus) is collected to the driver and fits k-means centroids;
+    ``n_centroids`` is clamped to the sample size. Index: every corpus
+    vector gets its nearest centroid (the inverted list id) computed
+    FULLY JVM-SIDE (``ivf_assign_jvm`` — centroid literals + codegen
+    dots; corpus embeddings never cross into Python). Search: each
+    query probes its ``nprobe`` nearest lists via the Arrow-matmul
+    pandas path (the query side is tiny); exact cosine inside the
+    probed lists, top-k per query.
 
     vs LSH: data-adapted partitions (clustered corpora get balanced
     lists where hyperplanes split clusters), one training pass, recall
@@ -162,19 +183,26 @@ def ivf_topk(
     Scale shape: centroid assignment is map-only; the candidate join is
     an equi-join on the list id; no all-pairs anywhere.
     """
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(sample_size).collect()
-        ]
+    n_corpus = corpus.count()
+    if n_corpus == 0:
+        raise ValueError("ivf_topk: empty corpus")
+    frac = min(1.0, (2.0 * sample_size) / n_corpus)
+    rows = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_size)
+        .collect()
     )
+    if not rows:  # pathological tiny-fraction draw — fall back to head
+        rows = corpus.select(vec_col).limit(sample_size).collect()
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n_centroids = max(1, min(n_centroids, len(sample)))
     cents = _kmeans_centroids(sample, n_centroids, seed)
-    c_assign = _assign_udf(cents, 1)
     q_assign = _assign_udf(cents, nprobe)
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
-        F.element_at(c_assign(F.col(vec_col)), 1).alias("_list"),
+        ivf_assign_jvm(F.col(vec_col), cents).alias("_list"),
     )
     q = queries.select(
         F.col(query_id),
