@@ -709,8 +709,10 @@ def q_substring_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_format_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 format-number pattern subset (rows-only: no DecimalFormat
-    twin in DuckDB; semantics pinned by tests/test_functions_misc.py)."""
+    """§2.9 format-number: the grouping-pattern subset is ORACLE-checked
+    (DuckDB printf over integer cents — floats don't take a thousands
+    separator there); symbol overrides / exotic patterns are pinned by
+    tests/test_functions_misc.py."""
     from turboxsl_spark.functions.format_number import format_number
 
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
@@ -861,8 +863,9 @@ def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 ltr:url_encode / ltr:str_escape('js') as Arrow-vectorized
-    UDFs (rows-only: DuckDB lacks percent-encoding; semantics pinned by
-    tests/test_coercions.py against python urllib)."""
+    UDFs — ORACLE-checked: percent-encoding re-derived in DuckDB SQL
+    (per-char regex + UTF-8 hex expansion), js escaping as an ordered
+    replace chain; also pinned vs python urllib in tests."""
     from turboxsl_spark.functions.strings import str_escape_js_udf, url_encode_udf
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
@@ -1194,6 +1197,28 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "base64": """
             SELECT doc_id, to_base64(text::BLOB) AS b64 FROM documents
+        """,
+        "url_escape": r"""
+            SELECT doc_id,
+                   list_aggregate(list_transform(
+                       regexp_split_to_array(text, ''), ch ->
+                       CASE WHEN regexp_matches(ch, '^[A-Za-z0-9_.~-]$') THEN ch
+                            ELSE regexp_replace(hex(encode(ch)), '(..)', '%\1', 'g')
+                       END), 'string_agg', '') AS url_enc,
+                   replace(replace(replace(replace(replace(replace(text,
+                       '\', '\\'), '''', '\'''), '"', '\"'),
+                       chr(10), '\n'), chr(13), '\r'), chr(9), '\t') AS js_esc
+            FROM documents WHERE doc_id < 100
+        """,
+        "format_number": """
+            WITH c AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem WHERE l_orderkey < 200)
+            SELECT l_orderkey, l_linenumber,
+                   printf('%,d', cents // 100) || '.' ||
+                   printf('%02d', cents % 100) AS price_fmt
+            FROM c
         """,
         "corpus_pipeline": """
             WITH n AS (
