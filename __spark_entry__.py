@@ -789,16 +789,35 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidate pairs via hyperplane-LSH
-    buckets (rows-only; pairwise recall pinned in tests)."""
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH at its
+    DESIGNED operating point (threshold 0.95, 16 bits / 4 bands).
+
+    The raw testdata embeddings contain no true near-dups (max pairwise
+    cos ≈ 0.51), so every 10th (unit-norm) vector gets a DETERMINISTIC
+    perturbed twin (JVM transform: additive sin-noise, amplitude .015
+    per component → cos(v, twin) ≈ .996) — exercising the operator
+    where the banding math holds: per-bit match p ≈ 1-acos(.996)/π ≈
+    .97, candidate recall 1-(1-p^4)^4 ≈ .9999.
+    Measured on this corpus: recall 1.0 of the planted twins, zero
+    sub-threshold pairs (exact-cosine verify) — asserted per-run by
+    tests/test_entry_near_dup.py. Rows-only for the driver: the planted
+    pair COUNT is deterministic, but a hard hash gate on an ~.999
+    -recall operator would flake by design.
+    """
     from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    # testdata embeddings have no true near-dups (max pairwise cosine
-    # ≈0.51), so the demo threshold is tuned low; the BANDED signature
-    # (16 bits, 4 bands of 4) keeps recall for moderate-cosine pairs
-    # without the hot-bucket blowup of a coarse full-signature bucket
-    pairs = embedding_near_dup_pairs(emb, threshold=0.4, nbits=16, bands=4, dim=64)
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") + 0.015 * F.sin(F.col("vec_id") * 131 + i * 17)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(twins)
+    pairs = embedding_near_dup_pairs(planted, threshold=0.95, nbits=16, bands=4, dim=64)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("id_a", "id_b")
