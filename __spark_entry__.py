@@ -823,6 +823,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram benchmark decontamination, oracle-checked end-to-end:
+    every doc with doc_id % 17 == 0 plays the role of an eval document;
+    a training doc is contaminated when any of its word 5-gram shingle
+    occurrences appears in the eval set's shingle set. String-shingle
+    twin of the xxhash64 fast path (use_hashes=False so DuckDB can
+    express the identical containment); hash/string agreement is
+    property-tested in tests/test_dedup.py."""
+    from turboxsl_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    out = decontaminate(
+        d, bench, n=5, min_hits=1, use_hashes=False, broadcast_bench=True
+    )
+    return out.select("doc_id", "contam_hits", "contaminated")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode: REAL in-container PNG/WAV kernels (stdlib
     zlib/wave + numpy, operators/codecs.py) featurize image+audio rows
@@ -941,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "corpus_pipeline": q_corpus_pipeline,
+        "decontaminate": q_decontaminate,
         "base64": q_base64,
         "url_escape": q_url_escape,
     }
@@ -1314,6 +1333,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                                    / len(list_distinct(list_concat(a.sh, b.sh))) END, 6)
                        AS jaccard
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "decontaminate": """
+            WITH nrm AS (
+                SELECT doc_id, lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(norm) = 0 THEN CAST([] AS VARCHAR[])
+                            ELSE str_split(norm, ' ') END AS words
+                FROM nrm),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(range(1, len(words) - 3),
+                                 i -> words[i] || ' ' || words[i+1] || ' ' ||
+                                      words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])
+                       END AS sh
+                FROM w),
+            bench AS (
+                SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 17 = 0),
+            exploded AS (
+                SELECT doc_id, unnest(sh) AS g FROM s),
+            hits AS (
+                SELECT e.doc_id, COUNT(*) AS contam_hits
+                FROM exploded e JOIN bench b ON e.g = b.g
+                GROUP BY e.doc_id)
+            SELECT s.doc_id,
+                   COALESCE(h.contam_hits, 0) AS contam_hits,
+                   COALESCE(h.contam_hits, 0) >= 1 AS contaminated
+            FROM s LEFT JOIN hits h ON s.doc_id = h.doc_id
         """,
         "current_corr": """
             SELECT e.user_id, e.event_id, e.value, g.max_purchase

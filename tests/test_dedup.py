@@ -188,3 +188,66 @@ def test_simhash_deterministic_and_discriminative(spark, docs):
     ham = bin((int(s1[1]) ^ int(s1[4])) & (2**64 - 1)).count("1")
     ham_far = bin((int(s1[1]) ^ int(s1[5])) & (2**64 - 1)).count("1")
     assert ham < ham_far
+
+
+def test_decontaminate_flags_overlap_and_hash_string_agree(spark):
+    """Docs sharing an n-gram with the benchmark are flagged with the
+    right hit counts; clean docs aren't; the xxhash64 fast path agrees
+    with the string-shingle twin row-for-row; min_hits raises the bar;
+    short docs (< n tokens) match on the whole-string shingle."""
+    from turboxsl_spark.operators.dedup import decontaminate
+
+    bench_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "tiny eval"),
+    ]
+    docs_rows = [
+        # two occurrences of a benchmark 5-gram ("the quick brown fox jumps")
+        (0, "a the quick brown fox jumps b c the quick brown fox jumps d"),
+        # exactly one benchmark 5-gram occurrence
+        (1, "x y the quick brown fox jumps z"),
+        # no overlap
+        (2, "completely different words in this sentence here okay"),
+        # short doc equal to a short benchmark doc -> whole-string match
+        (3, "tiny eval"),
+        # short doc, no match
+        (4, "tiny other"),
+        # empty doc
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    for use_hashes in (True, False):
+        out = (
+            decontaminate(docs, bench, n=5, use_hashes=use_hashes)
+            .select("doc_id", "contam_hits", "contaminated")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["contam_hits"].tolist() == [2, 1, 0, 1, 0, 0], use_hashes
+        assert out["contaminated"].tolist() == [True, True, False, True, False, False]
+
+    strict = (
+        decontaminate(docs, bench, n=5, min_hits=2)
+        .select("doc_id", "contaminated")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert strict["contaminated"].tolist() == [True, False, False, False, False, False]
+
+
+def test_decontaminate_broadcast_plan(spark):
+    """The benchmark side must reach the shingle join as a broadcast
+    (no shuffle of the exploded corpus on the shingle key)."""
+    from turboxsl_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon zeta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 10 = 0")
+    out = decontaminate(docs, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]

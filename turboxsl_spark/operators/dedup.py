@@ -419,3 +419,61 @@ def embedding_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
     ).where(F.col("cos_sim") >= threshold)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    use_hashes: bool = True,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training documents contaminated by an eval/benchmark set.
+
+    Standard word-n-gram decontamination (the published recipe for LLM
+    corpus builds): a document is contaminated when at least
+    ``min_hits`` of its n-gram shingle OCCURRENCES appear anywhere in
+    the benchmark's shingle set. Returns ``docs`` plus ``contam_hits``
+    (long) and ``contaminated`` (boolean).
+
+    Scale shape: the benchmark side reduces to DISTINCT shingle
+    identities and is BROADCAST (eval sets are orders of magnitude
+    smaller than the corpus; their distinct-shingle set fits executor
+    memory — pass ``broadcast_bench=False`` to fall back to a shuffled
+    equi-join when it does not). The doc side is one map-side explode +
+    broadcast semi-join + one groupBy on the doc id (map-side partial
+    agg), then a left join of the hit counts back onto the full doc
+    rows — hits exist only for contaminated docs, so AQE typically
+    broadcasts that side too. No all-pairs operation anywhere.
+
+    ``use_hashes=True`` matches shingles by 64-bit xxhash64 of the
+    token tuple (``shingle_hashes`` — no string assembly, negligible
+    collision rate); ``False`` uses the literal shingle strings (the
+    SQL-expressible twin the driver oracle checks).
+    """
+    shingler = shingle_hashes if use_hashes else shingles
+    bench_sh = (
+        benchmark.select(
+            F.explode(shingler(tokenize(F.col(bench_text_col)), n)).alias("_sh")
+        )
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingler(tokenize(F.col(text_col)), n)).alias("_sh")
+    )
+    hits = (
+        doc_sh.join(bench_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("contam_hits", F.coalesce("contam_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("contam_hits") >= min_hits)
+    )
