@@ -36,3 +36,66 @@ def test_manifest_records_input_snapshot(spark, tmp_path):
     write_with_manifest(src, out, n_buckets=4, input_snapshot=f"snap-{sid}")
     entries = committed_buckets(out)
     assert all(e["input_snapshot"] == "snap-1" for e in entries.values())
+
+
+def test_iceberg_branch_config_detection(spark):
+    """The real-Iceberg code path exists and is selected purely by
+    session conf: with no Iceberg catalog configured (this sandbox) the
+    detector returns None and both entry points raise the explicit
+    configuration error; with jars+conf present on a cluster the same
+    call sites run unchanged. If this session ever HAS a catalog, run
+    the real branch instead of skipping."""
+    import pytest
+
+    from turboxsl_spark.sources.snapshots import (
+        IcebergNotConfigured,
+        IcebergSnapshotStore,
+        iceberg_catalog,
+    )
+    from turboxsl_spark.sources.tables import write_bucketed_iceberg
+
+    cat = iceberg_catalog(spark)
+    if cat is not None:
+        pytest.skip(f"session has Iceberg catalog {cat!r}; covered by cluster runs")
+    with pytest.raises(IcebergNotConfigured):
+        IcebergSnapshotStore(spark, "db.tx")
+    df = spark.range(3).withColumnRenamed("id", "conv_id")
+    with pytest.raises(IcebergNotConfigured):
+        write_bucketed_iceberg(df, "db.tx", 4, "conv_id")
+
+
+def test_iceberg_catalog_detector_matches_conf_shape():
+    """Detector keys off spark.sql.catalog.<name> = *iceberg* only."""
+    from turboxsl_spark.sources.snapshots import iceberg_catalog
+
+    class FakeConf:
+        def __init__(self, pairs):
+            self._p = pairs
+        def getAll(self):
+            return self._p
+
+    class FakeCtx:
+        def __init__(self, pairs):
+            self._c = FakeConf(pairs)
+        def getConf(self):
+            return self._c
+
+    class FakeSpark:
+        def __init__(self, pairs):
+            self.sparkContext = FakeCtx(pairs)
+            self.conf = object()
+
+    assert iceberg_catalog(FakeSpark([])) is None
+    assert (
+        iceberg_catalog(
+            FakeSpark([("spark.sql.catalog.lake",
+                        "org.apache.iceberg.spark.SparkCatalog")])
+        )
+        == "lake"
+    )
+    # sub-keys of a catalog (…lake.type) must not match
+    assert (
+        iceberg_catalog(FakeSpark([("spark.sql.catalog.lake.type", "iceberg-ish")]))
+        is None
+    )
+    assert iceberg_catalog(FakeSpark([("spark.sql.catalog.x", "com.other.Cat")])) is None

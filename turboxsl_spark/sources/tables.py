@@ -74,6 +74,36 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_bucketed_iceberg(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    key_col: str,
+    catalog: str | None = None,
+) -> None:
+    """The Iceberg spelling of ``write_bucketed``: a `bucket(N, key)`
+    partition transform via the DataFrameWriterV2 API. Requires an
+    Iceberg catalog in the session (iceberg-spark-runtime jar + conf) —
+    raises ``IcebergNotConfigured`` otherwise, so the same pipeline code
+    runs unchanged on a cluster and fails loudly in a bare sandbox."""
+    from pyspark.sql import functions as F
+
+    from turboxsl_spark.sources.snapshots import IcebergNotConfigured, iceberg_catalog
+
+    catalog = catalog or iceberg_catalog(df.sparkSession)
+    if catalog is None:
+        raise IcebergNotConfigured(
+            "write_bucketed_iceberg needs a spark.sql.catalog.<name> with an "
+            "Iceberg implementation; use write_bucketed (parquet bucketBy) here"
+        )
+    (
+        df.writeTo(f"{catalog}.{table}")
+        .using("iceberg")
+        .partitionedBy(F.bucket(n_buckets, key_col))
+        .createOrReplace()
+    )
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table WITH its bucketing metadata (a bare
     ``spark.read.parquet(path)`` would forget the layout and reintroduce
