@@ -209,6 +209,7 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=1)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--scaling-only", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     sf_name = _sf_name()
@@ -240,16 +241,28 @@ def main() -> None:
 
     spark = get_spark("bench", cores=args.cores)
     _warm_session(spark)
+    # INTERLEAVED repeats (A,B,C,…,A,B,C,…): per-query medians across
+    # full passes, so a slow-host epoch hits one PASS of every query
+    # instead of one query's only sample — round-over-round per-query
+    # diffs stop reflecting host weather (same rationale as the paired
+    # scaling ratios). Spread (max-min) is reported alongside.
+    samples: dict[str, list[float]] = {}
+    for _ in range(max(1, args.repeats)):
+        for name, fn in entrymod.queries().items():
+            # timer covers CONSTRUCTION too: operators with driver-side
+            # control flow (connected-components fixpoint loop,
+            # global_rank offset job) run eager jobs while building the
+            # DataFrame, and those belong in the reported time
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(time.monotonic() - t0)
     qtimes: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        # timer covers CONSTRUCTION too: operators with driver-side
-        # control flow (connected-components fixpoint loop, global_rank
-        # offset job) run eager jobs while building the DataFrame, and
-        # those belong in the reported time
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+    qspread: dict[str, float] = {}
+    for name, ts in samples.items():
+        ts = sorted(ts)
+        qtimes[name] = round(ts[len(ts) // 2], 3)  # median (odd reps)
+        qspread[name] = round(ts[-1] - ts[0], 3)
 
     # flagship at current cores (in-process; warm-up then best of 2 —
     # the first execution of a plan pays JIT/codegen)
@@ -264,6 +277,8 @@ def main() -> None:
         "value": round(sum(qtimes.values()), 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_spread": qspread,
+        "repeats": max(1, args.repeats),
         "sf": float(sf_name.replace("sf", "")),
         "flagship_rows": flag_rows,
         "flagship_turns_per_sec": round(flag_rows / flag_elapsed, 1),
@@ -354,14 +369,17 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             "driver-side loops) has no shared-memory choke point.",
             "",
         ]
+    reps = result.get("repeats", 1)
+    spread = result.get("queries_spread", {})
     lines += [
-        "## Per-query times (sec; construction + noop-sink execution)",
+        "## Per-query times (sec; construction + noop-sink execution;",
+        f"median of {reps} interleaved passes, spread = max−min)",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "| query | sec (median) | spread |",
+        "|---|---|---|",
     ]
     for k, v in result["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {spread.get(k, '—')} |")
     lines.append("")
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
