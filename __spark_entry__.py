@@ -823,6 +823,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed sampling + train/val/test split,
+    oracle-checked: membership is a pure function of md5(salt || key)
+    (first 32 bits vs cumulative thresholds), so the exact row set is
+    reproducible in any engine — DuckDB computes the identical sample
+    and labels. The corpus-build primitive df.sample can't give you:
+    repartition-stable, join-closed, resumable."""
+    from turboxsl_spark.operators.sampling import hash_sample, hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    kept = hash_sample(d, "doc_id", 0.3, salt="corpus_v1")
+    out = hash_split(
+        kept, "doc_id", {"train": 0.7, "val": 0.2, "test": 0.1}, salt="split_v1"
+    )
+    return out.select("doc_id", "split")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram benchmark decontamination, oracle-checked end-to-end:
     every doc with doc_id % 17 == 0 plays the role of an eval document;
@@ -960,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "corpus_pipeline": q_corpus_pipeline,
         "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
         "base64": q_base64,
         "url_escape": q_url_escape,
     }
@@ -1333,6 +1351,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                                    / len(list_distinct(list_concat(a.sh, b.sh))) END, 6)
                        AS jaccard
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "hash_sample": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('corpus_v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hs,
+                       CAST(('0x' || substr(md5('split_v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hp
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN hp < {int(0.7 * 2**32)} THEN 'train'
+                        WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h WHERE hs < {int(0.3 * 2**32)}
         """,
         "decontaminate": """
             WITH nrm AS (

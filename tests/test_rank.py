@@ -58,3 +58,12 @@ def test_global_topk_matches_full_rank(spark):
     want = pdf.sort_values(["score", "id"], ascending=[False, True]).head(25)
     assert got["id"].tolist() == want["id"].tolist()
     assert got["rk"].tolist() == list(range(1, 26))
+
+
+def test_global_rank_empty_input(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([], "id long, score double").where("id > 0")
+    out = global_rank(df, [F.col("score").desc(), F.col("id").asc()], out="rk")
+    assert out.count() == 0
+    assert "rk" in out.columns

@@ -1,0 +1,98 @@
+"""Deterministic hash sampling/splitting vs a python hashlib reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from turboxsl_spark.operators.sampling import hash_sample, hash_split
+
+
+def _ref_u32(salt: str, *keys: str) -> int:
+    # \x1f-joined, matching sampling.SEP (and chr(31) in the SQL oracle)
+    return int(hashlib.md5("\x1f".join((salt, *keys)).encode()).hexdigest()[:8], 16)
+
+
+def test_hash_sample_matches_hashlib_and_is_repartition_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    kept = set(
+        r[0] for r in hash_sample(df, "k", 0.3, salt="s1").select("k").collect()
+    )
+    want = {i for i in range(2000) if _ref_u32("s1", str(i)) < int(0.3 * 2**32)}
+    assert kept == want
+    # rate lands near 0.3 (binomial over 2000 keys)
+    assert 0.25 < len(kept) / 2000 < 0.35
+    # decision is partitioning-independent
+    kept2 = set(
+        r[0]
+        for r in hash_sample(df.repartition(17), "k", 0.3, salt="s1")
+        .select("k")
+        .collect()
+    )
+    assert kept2 == kept
+
+
+def test_hash_sample_is_join_closed_over_keys(spark):
+    """Sampling a keyed fact table keeps every row of a sampled key and
+    no row of an unsampled key (co-sampling consistency)."""
+    rows = [(u, i) for u in range(100) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, seq long")
+    out = hash_sample(df, "user_id", 0.4, salt="x").groupBy("user_id").count()
+    pdf = out.toPandas()
+    assert (pdf["count"] == 5).all()
+
+
+def test_hash_split_exhaustive_disjoint_and_seeded(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    out = hash_split(
+        df, "k", {"train": 0.7, "val": 0.2, "test": 0.1}, salt="sp"
+    ).toPandas()
+    assert len(out) == 3000  # every row labeled exactly once
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.7) < 0.05
+    assert abs(frac["val"] - 0.2) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # python reference agreement on the boundaries
+    for _, r in out.head(200).iterrows():
+        h = _ref_u32("sp", str(r["k"]))
+        want = (
+            "train"
+            if h < int(0.7 * 2**32)
+            else ("val" if h < int((0.7 + 0.2) * 2**32) else "test")
+        )
+        assert r["split"] == want
+    # a different salt draws a different (but valid) split
+    out2 = hash_split(
+        df, "k", {"train": 0.7, "val": 0.2, "test": 0.1}, salt="other"
+    ).toPandas()
+    assert (out2["split"] != out["split"]).any()
+
+
+def test_hash_sample_multikey_is_injective_over_tuples(spark):
+    """('ab','c') and ('a','bc') must draw independently — the \\x1f
+    separator keeps the concatenation injective."""
+    df = spark.createDataFrame([("ab", "c"), ("a", "bc")], "x string, y string")
+    from turboxsl_spark.operators.sampling import _hash_u32
+
+    rows = df.select(_hash_u32(["x", "y"], "s").alias("h")).collect()
+    assert rows[0]["h"] != rows[1]["h"]
+    assert rows[0]["h"] == _ref_u32("s", "ab", "c")
+    assert rows[1]["h"] == _ref_u32("s", "a", "bc")
+
+
+def test_sampling_validation(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_sampling_is_map_only(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    out = hash_sample(df, "k", 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

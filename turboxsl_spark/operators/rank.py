@@ -97,7 +97,9 @@ def global_rank(
         # ONE range exchange, written once; both jobs below read this —
         # partition ids are frozen in the data, immune to resample drift
         ranged.write.mode("overwrite").parquet(scratch_dir)
-        part = spark.read.parquet(scratch_dir)
+        # explicit schema: an EMPTY input writes no part files, and a
+        # schema-inferring read of the bare directory would throw
+        part = spark.read.schema(ranged.schema).parquet(scratch_dir)
     counts = part.groupBy("_gr_pid").count().collect()
     acc = 0
     offset_rows = []
