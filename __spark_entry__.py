@@ -840,6 +840,38 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates (the corpus-balancing primitive),
+    oracle-checked: thresholds are integer literals, membership is the
+    pure md5 function — DuckDB reproduces the exact row set. Unlisted
+    languages drop (default_rate=0). Nested-sample property (raising a
+    rate only adds keys) is pinned in tests/test_sampling.py."""
+    from turboxsl_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25, "zh": 1.0}, salt="strat_v1"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix water-filling resampler, oracle-checked end-to-end:
+    keep the LARGEST corpus with exact expected proportions targets=
+    {src0:.5, src1:.3, src2:.2} — T = min_d(n_d/w_d), rate_d =
+    T*w_d/n_d — the binding domain keeps all rows. Counts are a tiny
+    per-domain agg; rates broadcast-join back; the filter is the same
+    pure hash. DuckDB recomputes T and the row set identically
+    (both engines do the same IEEE double ops in the same order)."""
+    from turboxsl_spark.operators.sampling import mix_resample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mix_resample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, salt="mix_v1"
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram benchmark decontamination, oracle-checked end-to-end:
     every doc with doc_id % 17 == 0 plays the role of an eval document;
@@ -978,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
     }
@@ -1363,6 +1397,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('strat_v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  < CASE lang WHEN 'en' THEN {int(0.5 * 2**32)}
+                              WHEN 'de' THEN {int(0.25 * 2**32)}
+                              WHEN 'zh' THEN {int(1.0 * 2**32)}
+                              ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "mix_resample": """
+            WITH c AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                       CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                                   WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                                   ELSE CAST(0.2 AS DOUBLE) END AS w
+                FROM documents WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY source),
+            t AS (SELECT MIN(n / w) AS t FROM c),
+            r AS (SELECT source,
+                         CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), t.t * w / n)
+                                    * 4294967296.0) AS UBIGINT) AS thresh
+                  FROM c, t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST(('0x' || substr(md5('mix_v1' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  < r.thresh
+            ORDER BY d.doc_id
         """,
         "decontaminate": """
             WITH nrm AS (

@@ -7,7 +7,12 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
-from turboxsl_spark.operators.sampling import hash_sample, hash_split
+from turboxsl_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    mix_resample,
+    stratified_hash_sample,
+)
 
 
 def _ref_u32(salt: str, *keys: str) -> int:
@@ -80,6 +85,56 @@ def test_hash_sample_multikey_is_injective_over_tuples(spark):
     assert rows[0]["h"] != rows[1]["h"]
     assert rows[0]["h"] == _ref_u32("s", "ab", "c")
     assert rows[1]["h"] == _ref_u32("s", "a", "bc")
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    lo = stratified_hash_sample(df, "k", "s", {"a": 0.2, "b": 0.6}, salt="st")
+    pdf = lo.groupBy("s").count().toPandas().set_index("s")["count"]
+    assert abs(pdf["a"] / 2000 - 0.2) < 0.05
+    assert abs(pdf["b"] / 2000 - 0.6) < 0.05
+    # unlisted strata use default_rate (0 = dropped)
+    df2 = df.withColumn("s", F.when(F.col("k") < 100, "c").otherwise(F.col("s")))
+    got = stratified_hash_sample(df2, "k", "s", {"a": 0.5}, salt="st")
+    assert got.where("s = 'c'").count() == 0 and got.where("s = 'b'").count() == 0
+    # nested: raising a rate only ADDS keys, never re-draws
+    hi = stratified_hash_sample(df, "k", "s", {"a": 0.5, "b": 0.9}, salt="st")
+    lo_keys = {r[0] for r in lo.select("k").collect()}
+    hi_keys = {r[0] for r in hi.select("k").collect()}
+    assert lo_keys <= hi_keys
+    # per-stratum membership agrees with the python reference
+    for r in lo.limit(50).collect():
+        rate = 0.2 if r["s"] == "a" else 0.6
+        assert _ref_u32("st", str(r["k"])) < int(rate * 2**32)
+
+
+def test_mix_resample_water_filling(spark):
+    # 3 domains with counts 3000/900/100; targets 0.5/0.3/0.2.
+    # binding domain: min(n/w) = min(6000, 3000, 500) = 500 = T
+    # → rates: a 500*0.5/3000, b 500*0.3/900, c 500*0.2/100 = 1.0
+    rows = (
+        [(i, "a") for i in range(3000)]
+        + [(10000 + i, "b") for i in range(900)]
+        + [(20000 + i, "c") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "k long, d string")
+    out = mix_resample(df, "k", "d", {"a": 0.5, "b": 0.3, "c": 0.2}, salt="m")
+    pdf = out.groupBy("d").count().toPandas().set_index("d")["count"]
+    assert pdf["c"] == 100  # binding domain keeps everything
+    # expected kept: a=250, b=150 (binomial; 4 sigma ≈ 60 / 45)
+    assert abs(pdf["a"] - 250) < 62
+    assert abs(pdf["b"] - 150) < 48
+    # domains not in targets are dropped
+    out2 = mix_resample(df, "k", "d", {"a": 0.6, "b": 0.4}, salt="m")
+    assert out2.where("d = 'c'").count() == 0
+    # membership is the pure hash function at the derived rate
+    t = min(3000 / 0.5, 900 / 0.3, 100 / 0.2)
+    for r in out.limit(80).collect():
+        n = {"a": 3000, "b": 900, "c": 100}[r["d"]]
+        w = {"a": 0.5, "b": 0.3, "c": 0.2}[r["d"]]
+        rate = min(1.0, t * w / n)
+        assert _ref_u32("m", str(r["k"])) < int(rate * 2**32)
 
 
 def test_sampling_validation(spark):

@@ -58,6 +58,87 @@ def hash_sample(
     return df.where(_hash_u32(keys, salt) < int(rate * _U32))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli keep rates, same pure-function contract.
+
+    ``rates``: stratum value → keep rate; strata not listed fall back
+    to ``default_rate`` (0.0 = drop, 1.0 = keep all). The hash ignores
+    the stratum, so changing a rate never re-draws which keys of a
+    stratum are kept — raising a rate strictly grows the sample
+    (nested samples, the property backfills need).
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = _hash_u32(keys, salt)
+    thresh: Column = F.lit(int(default_rate * _U32))
+    for s, r in rates.items():
+        thresh = F.when(F.col(stratum_col) == F.lit(s), F.lit(int(r * _U32))).otherwise(
+            thresh
+        )
+    return df.where(h < thresh)
+
+
+def mix_resample(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    domain_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Resample to target domain proportions — the corpus-mixing op.
+
+    Water-filling closed form: the largest corpus with EXACT expected
+    proportions ``targets`` keeps ``T = min_d(n_d / w_d)`` rows, so
+    domain ``d`` gets keep-rate ``T * w_d / n_d`` (the binding domain
+    keeps everything; the rest are hash-downsampled). Domains absent
+    from ``targets`` are dropped.
+
+    Plan shape: one map-side-combined count per domain (a handful of
+    rows), a scalar min over that tiny frame, a broadcast join of the
+    per-domain rate back onto the fact table, then the map-only hash
+    filter — no full-table shuffle, no driver collect.
+    """
+    total = sum(targets.values())
+    if not targets or not 0.999 <= total <= 1.001:
+        raise ValueError(f"targets must sum to 1 (got {total})")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = F.create_map(
+        *[x for s, r in targets.items() for x in (F.lit(s), F.lit(float(r)))]
+    )
+    counts = (
+        df.where(F.col(domain_col).isin(list(targets)))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", F.element_at(w, F.col(domain_col)))
+    )
+    # T = min(n_d / w_d): a window over the counts frame only — it has
+    # one row per domain, so the single partition is bounded by the
+    # (small, user-supplied) target dict, never by data volume.
+    from pyspark.sql import Window
+
+    t = F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy())
+    rates = counts.withColumn(
+        "_rate", F.least(F.lit(1.0), t * F.col("_w") / F.col("_n"))
+    ).select(domain_col, "_rate")
+    h = _hash_u32(keys, salt)
+    return (
+        df.join(F.broadcast(rates), on=domain_col, how="inner")
+        .where(h < (F.col("_rate") * F.lit(_U32)).cast("long"))
+        .drop("_rate")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_cols: str | Sequence[str],
