@@ -430,6 +430,25 @@ def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, word
+    variant), oracle-checked: distinct-word fraction, top-bigram
+    fraction, duplicate-bigram-instance fraction. Spark computes them
+    as a zero-shuffle run-length scan over each doc's SORTED bigram
+    array (no explode, no Python); DuckDB re-derives the same numbers
+    the relational way (unnest → self-join → group). Both divide the
+    same integers, so doubles match bit-exactly."""
+    from turboxsl_spark.functions.text_analysis import repetition_metrics, words_of
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("w", words_of("text"))
+        .select("doc_id", repetition_metrics(F.col("w")).alias("m"))
+        .select("doc_id", "m.*")
+        .orderBy("doc_id")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID heuristic over documents."""
     from turboxsl_spark.functions.text_analysis import lang_id
@@ -1011,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "repetition_profile": q_repetition_profile,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1406,6 +1426,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                               WHEN 'zh' THEN {int(1.0 * 2**32)}
                               ELSE 0 END
             ORDER BY doc_id
+        """,
+        "repetition_profile": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents),
+            w AS (
+                SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
+                FROM base),
+            wc AS (
+                SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT wd) AS dst
+                FROM w GROUP BY doc_id),
+            g AS (
+                SELECT a.doc_id, a.wd || chr(31) || b.wd AS bg
+                FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM g GROUP BY doc_id, bg),
+            m AS (
+                SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top,
+                       CAST(SUM(cnt) AS BIGINT) AS tot,
+                       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+                FROM c GROUP BY doc_id)
+            SELECT wc.doc_id,
+                   CAST(wc.n AS BIGINT) AS n_words,
+                   CAST(wc.dst AS DOUBLE) / wc.n AS distinct_word_frac,
+                   COALESCE(CAST(m.top AS DOUBLE) / m.tot, 0.0) AS top_bigram_frac,
+                   COALESCE(CAST(m.dup AS DOUBLE) / m.tot, 0.0) AS dup_bigram_frac
+            FROM wc LEFT JOIN m ON wc.doc_id = m.doc_id
+            ORDER BY wc.doc_id
         """,
         "mix_resample": """
             WITH c AS (

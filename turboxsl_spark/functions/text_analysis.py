@@ -111,6 +111,83 @@ def quality_score(c: Column | str, words: Column | None = None) -> Column:
     )
 
 
+def repetition_metrics(words: Column) -> Column:
+    """Gopher-style repetition profile over a pre-materialized
+    ``words_of`` array — returns a struct of
+    ``(n_words, distinct_word_frac, top_bigram_frac, dup_bigram_frac)``.
+
+      distinct_word_frac : distinct words / words (1.0 = no repeats)
+      top_bigram_frac    : occurrences of the most frequent word
+                           bigram / total bigrams
+      dup_bigram_frac    : fraction of bigram INSTANCES whose bigram
+                           occurs more than once
+
+    High top/dup fractions flag boilerplate and degenerate loops (the
+    repetition filters of Rae et al. 2021 §A1.1, word-level variant).
+
+    Scale story: entirely JVM-side and map-only — the bigram frequency
+    scan is a run-length pass over the ``array_sort``-ed per-document
+    bigram array (aggregate with a (prev,run,top,dup) struct state), so
+    there is NO explode and NO shuffle; 100 TB of documents profile as
+    a single projection. Docs with <2 words report 0 fractions.
+    """
+    n = F.size(words)
+    distinct_frac = F.when(
+        n > 0, F.size(F.array_distinct(words)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    # bigrams, \x1f-joined (injective for words, which never contain it)
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws("\x1f", a, b),
+        )
+    )
+    # run-length scan over the sorted array: top = longest run,
+    # dup = instances inside runs of length >1 (+2 when a run reaches
+    # 2, +1 per further element), distinct tracked for free
+    scan = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["top"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("top"),
+            (
+                acc["dup"]
+                + F.when(
+                    acc["prev"].eqNullSafe(x),
+                    F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0))
+            ).alias("dup"),
+        ),
+    )
+    # |bigrams| = n-1 arithmetically — avoids re-evaluating the sort
+    n_bg = F.when(n >= 2, n - 1).otherwise(F.lit(0))
+    top_frac = F.when(
+        n_bg > 0, scan["top"].cast("double") / n_bg
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n_bg > 0, scan["dup"].cast("double") / n_bg
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        distinct_frac.alias("distinct_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+
+
 def fingerprint64(c: Column | str, tokenized: bool = False) -> Column:
     """Order-sensitive 64-bit document fingerprint: xxhash64 chained over
     word 4-gram hashes (rolling-hash-style content signature).
