@@ -859,6 +859,24 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_disc quantiles of l_extendedprice, distributed —
+    value at 1-based sorted position max(1, ceil(q*n)). Built on the
+    two-phase global_rank (range exchange + local row_number +
+    broadcast offsets), so no single-task window at any scale; the
+    oracle recomputes the positions with an explicit row_number so the
+    tie/interpolation semantics are pinned, not library-dependent."""
+    from turboxsl_spark.operators.rank import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li,
+        "l_extendedprice",
+        [0.01, 0.25, 0.5, 0.75, 0.9, 0.99],
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language keep rates (the corpus-balancing primitive),
     oracle-checked: thresholds are integer literals, membership is the
@@ -1031,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "repetition_profile": q_repetition_profile,
+        "exact_quantiles": q_exact_quantiles,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1417,6 +1436,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "exact_quantiles": """
+            WITH s AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r
+                FROM lineitem),
+            n AS (SELECT COUNT(*) AS n FROM lineitem)
+            SELECT t.q, s.v AS value
+            FROM (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+                         (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+                         (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS t(q)
+            JOIN s ON s.r = GREATEST(1, CAST(CEIL(t.q * (SELECT n FROM n)) AS BIGINT))
+            ORDER BY t.q
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

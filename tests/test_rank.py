@@ -60,10 +60,44 @@ def test_global_topk_matches_full_rank(spark):
     assert got["rk"].tolist() == list(range(1, 26))
 
 
-def test_global_rank_empty_input(spark):
-    import pyspark.sql.functions as F
-
+def test_global_rank_empty_after_filter(spark):
     df = spark.createDataFrame([], "id long, score double").where("id > 0")
     out = global_rank(df, [F.col("score").desc(), F.col("id").asc()], out="rk")
     assert out.count() == 0
     assert "rk" in out.columns
+
+
+def test_exact_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from turboxsl_spark.operators.rank import exact_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(3.0, 1.5, 5007)  # odd n, skewed, with near-ties
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "v", qs, tiebreak=["id"]).collect()
+    }
+    s = np.sort(vals)
+    n = len(s)
+    for q in qs:
+        want = s[max(1, int(np.ceil(q * n))) - 1]  # percentile_disc
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_exact_quantiles_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from turboxsl_spark.operators.rank import exact_quantiles
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "v", [1.5])
+    empty = df.where("id < 0")
+    out = exact_quantiles(empty, "v", [0.5], tiebreak=["id"])
+    assert out.count() == 0
+    assert out.columns == ["q", "value"]

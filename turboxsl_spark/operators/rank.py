@@ -37,6 +37,7 @@ agree even though range boundaries are SAMPLED per exchange.
 
 from __future__ import annotations
 
+import math
 import shutil
 import tempfile
 from collections.abc import Sequence
@@ -117,6 +118,63 @@ def global_rank(
         .drop("_gr_pid", "_gr_lrn", "_gr_off")
     )
     return ranked
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value: Column | str,
+    qs: Sequence[float],
+    tiebreak: Sequence[Column | str] = (),
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """EXACT discrete quantiles (percentile_disc semantics) of a column,
+    distributed — returns ``(q double, value)`` with one row per q.
+
+    quantile_disc(q) = the value at 1-based sorted position
+    ``max(1, ceil(q*n))`` — the smallest value whose cumulative
+    fraction is ≥ q. ``approx_percentile`` trades error bounds for one
+    pass; this is the exact complement for when the number matters
+    (pricing cutoffs, SLO reporting), built on the same scale-safe
+    two-phase ``global_rank`` (range exchange + local row_number +
+    broadcast offsets — never a single-task window). ``tiebreak``
+    columns only disambiguate WHICH duplicate row holds a rank; the
+    VALUE at each position is order-independent, so any unique
+    tiebreak yields the same result.
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    spark = df.sparkSession
+    v = F.col(value) if isinstance(value, str) else value
+    slim = df.select(
+        v.alias("_q_v"), *[F.col(c) if isinstance(c, str) else c for c in tiebreak]
+    )
+    n = slim.count()
+    if n == 0:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("q", DoubleType()),
+                StructField("value", slim.schema["_q_v"].dataType),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    targets = [(float(q), _ceil_rank(q, n)) for q in qs]
+    tdf = spark.createDataFrame(targets, "q double, _q_r long")
+    order = [F.col("_q_v").asc()] + [
+        (F.col(c) if isinstance(c, str) else c).asc() for c in tiebreak
+    ]
+    ranked = global_rank(slim, order, out="_q_rank", scratch_dir=scratch_dir)
+    return (
+        ranked.join(F.broadcast(tdf), ranked["_q_rank"] == tdf["_q_r"])
+        .select("q", F.col("_q_v").alias("value"))
+        .orderBy("q")
+    )
+
+
+def _ceil_rank(q: float, n: int) -> int:
+    return max(1, math.ceil(q * n))
 
 
 def global_topk(
