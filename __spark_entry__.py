@@ -859,6 +859,37 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing (training-data last mile),
+    oracle-checked: shard by doc_id % 8, order by doc_id, cumulative
+    whitespace-token offsets; a doc joins the 256-token sequence its
+    start offset falls in. Pure window arithmetic — one per-shard sort
+    shuffle, engine-independent assignments (DuckDB reproduces every
+    seq_id). The exact greedy first-fit variant (sequence closes when
+    the next doc doesn't fit) is pack_greedy, pinned in
+    tests/test_packing.py."""
+    from turboxsl_spark.functions.text_analysis import token_count
+    from turboxsl_spark.operators.packing import pack_fixed_boundary
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    out = pack_fixed_boundary(
+        d,
+        ["doc_id"],
+        "n_tok",
+        window=256,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return out.select(
+        "doc_id",
+        F.col("_shard").cast("long").alias("shard"),
+        "n_tok",
+        F.col("_start").alias("start_tok"),
+        "seq_id",
+    ).orderBy("doc_id")
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentile_disc quantiles of l_extendedprice, distributed —
     value at 1-based sorted position max(1, ceil(q*n)). Built on the
@@ -1050,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_profile": q_repetition_profile,
         "exact_quantiles": q_exact_quantiles,
+        "pack_sequences": q_pack_sequences,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1436,6 +1468,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id, doc_id % 8 AS shard,
+                       CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                            ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tok
+                FROM documents)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(SUM(n_tok) OVER w - n_tok AS BIGINT) AS start_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / 256.0) AS BIGINT) AS seq_id
+            FROM t
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+            ORDER BY doc_id
         """,
         "exact_quantiles": """
             WITH s AS (
