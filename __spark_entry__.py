@@ -859,6 +859,42 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, oracle-checked end-to-end: docs with
+    doc_id % 3 == 0 get deterministic planted PII (email, IPv4, phone,
+    long account number — all derived from doc_id, so both engines
+    build the identical input), then the ordered Java∩RE2 regex chain
+    redacts and counts. Map-only, zero shuffle, no Python
+    (plan-asserted in tests/test_pii.py)."""
+    from turboxsl_spark.functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org ip 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" acct 9"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        d.select("doc_id", injected.alias("t"))
+        .select(
+            "doc_id",
+            redact_pii("t").alias("redacted"),
+            pii_counts("t").alias("c"),
+        )
+        .select("doc_id", "redacted", "c.*")
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-boundary sequence packing (training-data last mile),
     oracle-checked: shard by doc_id % 8, order by doc_id, cumulative
@@ -1082,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "exact_quantiles": q_exact_quantiles,
         "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1468,6 +1505,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "pii_redact": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                 || '.0.1 call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                 || ' acct 9' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+                       ELSE text END AS t
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                   FROM inj),
+            s2 AS (SELECT doc_id, n_email,
+                          CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+                          regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ip,
+                          CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+                          regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t
+                   FROM s2),
+            s4 AS (SELECT doc_id, n_email, n_ip, n_phone,
+                          CAST(len(regexp_extract_all(t, '\b\d{9,}\b')) AS BIGINT) AS n_number,
+                          regexp_replace(t, '\b\d{9,}\b', '<NUMBER>', 'g') AS t
+                   FROM s3)
+            SELECT doc_id, t AS redacted, n_email, n_ip, n_phone, n_number
+            FROM s4 ORDER BY doc_id
         """,
         "pack_sequences": r"""
             WITH t AS (
