@@ -46,8 +46,9 @@ def pack_fixed_boundary(
     """Assign each doc the sequence containing its start offset.
 
     ``order_cols`` must be a deterministic total order within a shard
-    (include the unique doc key). Adds ``_start`` (token offset within
-    the shard stream) and ``out`` (= floor(_start / window))."""
+    (include the unique doc key). Adds ``_shard`` (the evaluated shard
+    expression), ``_start`` (token offset within the shard stream) and
+    ``out`` (= floor(_start / window))."""
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col

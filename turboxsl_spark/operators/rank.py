@@ -44,6 +44,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def cleanup_scratch(path: str) -> None:
@@ -140,6 +141,12 @@ def exact_quantiles(
     columns only disambiguate WHICH duplicate row holds a rank; the
     VALUE at each position is order-independent, so any unique
     tiebreak yields the same result.
+
+    The result is materialized eagerly (bounded by ``len(qs)`` rows —
+    a driver collect of quantile values, not data) so the underlying
+    rank's scratch parquet is freed before returning; pass
+    ``scratch_dir`` to control where the intermediate lands (shared
+    storage on a cluster) — a caller-provided dir is NOT deleted.
     """
     for q in qs:
         if not 0.0 <= q <= 1.0:
@@ -151,26 +158,44 @@ def exact_quantiles(
     )
     n = slim.count()
     if n == 0:
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        schema = StructType(
-            [
-                StructField("q", DoubleType()),
-                StructField("value", slim.schema["_q_v"].dataType),
-            ]
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("q", DoubleType()),
+                    StructField("value", slim.schema["_q_v"].dataType),
+                ]
+            ),
         )
-        return spark.createDataFrame([], schema)
     targets = [(float(q), _ceil_rank(q, n)) for q in qs]
     tdf = spark.createDataFrame(targets, "q double, _q_r long")
     order = [F.col("_q_v").asc()] + [
         (F.col(c) if isinstance(c, str) else c).asc() for c in tiebreak
     ]
-    ranked = global_rank(slim, order, out="_q_rank", scratch_dir=scratch_dir)
-    return (
-        ranked.join(F.broadcast(tdf), ranked["_q_rank"] == tdf["_q_r"])
-        .select("q", F.col("_q_v").alias("value"))
-        .orderBy("q")
+    own_scratch = scratch_dir is None
+    if own_scratch:
+        scratch_dir = tempfile.mkdtemp(prefix="turboxsl_quantiles_")
+    try:
+        ranked = global_rank(slim, order, out="_q_rank", scratch_dir=scratch_dir)
+        # the result is bounded by len(qs) — materialize it eagerly so
+        # the rank's scratch parquet can be freed HERE instead of
+        # leaking until some later action
+        rows = (
+            ranked.join(F.broadcast(tdf), ranked["_q_rank"] == tdf["_q_r"])
+            .select("q", F.col("_q_v").alias("value"))
+            .orderBy("q")
+            .collect()
+        )
+    finally:
+        if own_scratch:
+            cleanup_scratch(scratch_dir)
+    out_schema = StructType(
+        [
+            StructField("q", DoubleType()),
+            StructField("value", slim.schema["_q_v"].dataType),
+        ]
     )
+    return spark.createDataFrame(rows, out_schema)
 
 
 def _ceil_rank(q: float, n: int) -> int:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _U32 = float(1 << 32)
@@ -102,7 +102,10 @@ def mix_resample(
     proportions ``targets`` keeps ``T = min_d(n_d / w_d)`` rows, so
     domain ``d`` gets keep-rate ``T * w_d / n_d`` (the binding domain
     keeps everything; the rest are hash-downsampled). Domains absent
-    from ``targets`` are dropped.
+    from ``targets`` are dropped. A target domain with NO rows in the
+    data makes exact global proportions infeasible — it is simply
+    missing from the output, and the PRESENT domains still resample to
+    their pairwise target ratios (T is the min over present domains).
 
     Plan shape: one map-side-combined count per domain (a handful of
     rows), a scalar min over that tiny frame, a broadcast join of the
@@ -125,8 +128,6 @@ def mix_resample(
     # T = min(n_d / w_d): a window over the counts frame only — it has
     # one row per domain, so the single partition is bounded by the
     # (small, user-supplied) target dict, never by data volume.
-    from pyspark.sql import Window
-
     t = F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy())
     rates = counts.withColumn(
         "_rate", F.least(F.lit(1.0), t * F.col("_w") / F.col("_n"))
