@@ -1041,6 +1041,37 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_comment_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 xsl:comment / xsl:processing-instruction output
+    constructors (reference src/instructions.c:467-478), oracle-checked
+    with planted INVALID cases: comment content containing '--' or
+    ending '-', PI target 'xml'/non-NCName, PI data containing '?>'.
+    Invalid → NULL (the XSLT-1.0 'signal an error' choice, documented
+    in functions/strings.py). 'xml-stylesheet' stays a VALID target —
+    only the exact name xml is reserved."""
+    from turboxsl_spark.functions.strings import xml_comment, xml_pi
+
+    d = _t(spark, sf_dir, "documents")
+    frag = F.substring(F.col("text"), 1, 40)
+    content = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(frag, F.lit("--x")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(frag, F.lit("-")))
+        .otherwise(frag)
+    )
+    target = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xml"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("1bad"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("xml-stylesheet"))
+        .otherwise(F.lit("app"))
+    )
+    data = F.when(F.col("doc_id") % 7 == 0, F.lit("x?>y")).otherwise(F.col("source"))
+    return d.select(
+        "doc_id",
+        xml_comment(content).alias("comment_node"),
+        xml_pi(target, data).alias("pi_node"),
+    ).orderBy("doc_id")
+
+
 def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 ltr:encode_base64 — a stub in the reference
     (/root/reference/src/functions.c:908-912 returns a constant);
@@ -1119,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": q_exact_quantiles,
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
+        "comment_pi": q_comment_pi,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1505,6 +1537,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "comment_pi": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 40) || '--x'
+                            WHEN doc_id % 4 = 1 THEN substr(text, 1, 40) || '-'
+                            ELSE substr(text, 1, 40) END AS content,
+                       CASE WHEN doc_id % 5 = 0 THEN 'xml'
+                            WHEN doc_id % 5 = 1 THEN '1bad'
+                            WHEN doc_id % 5 = 2 THEN 'xml-stylesheet'
+                            ELSE 'app' END AS target,
+                       CASE WHEN doc_id % 7 = 0 THEN 'x?>y' ELSE source END AS data
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN content LIKE '%--%' OR content LIKE '%-' THEN NULL
+                        ELSE '<!--' || content || '-->' END AS comment_node,
+                   CASE WHEN NOT regexp_matches(target, '^[A-Za-z_][A-Za-z0-9._\-]*$')
+                             OR lower(target) = 'xml'
+                             OR data LIKE '%?>%' THEN NULL
+                        ELSE '<?' || target || ' ' || data || '?>' END AS pi_node
+            FROM t ORDER BY doc_id
         """,
         "pii_redact": r"""
             WITH inj AS (

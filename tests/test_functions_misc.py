@@ -109,3 +109,32 @@ def test_engine_register_feature(spark):
     out = eng.build_features(df).select("text_norm", "shout_len", "double_len").toPandas()
     assert (out["shout_len"] == out["text_norm"].str.len()).all()
     assert (out["double_len"] == out["text_norm"].str.len() * 2).all()
+
+
+def test_xml_comment_and_pi_validity(spark):
+    from turboxsl_spark.functions.strings import xml_comment, xml_pi
+
+    rows = [
+        # (content, target, data, want_comment, want_pi)
+        ("ok text", "app", "d=1", "<!--ok text-->", "<?app d=1?>"),
+        ("has -- inside", "xml-stylesheet", "href", None, "<?xml-stylesheet href?>"),
+        ("ends with -", "xml", "x", None, None),          # reserved target
+        ("", "a.b-c_d", "", "<!---->", "<?a.b-c_d ?>"),   # empty content is valid
+        ("fine", "1bad", "x", "<!--fine-->", None),       # non-NCName target
+        ("fine", "app", "oops ?> tail", "<!--fine-->", None),  # '?>' in data
+        ("fine", "XML", "x", "<!--fine-->", None),        # case-insensitive reserve
+    ]
+    df = spark.createDataFrame(
+        [(i, c, t, d) for i, (c, t, d, _, _) in enumerate(rows)],
+        "id long, c string, t string, d string",
+    )
+    got = (
+        df.select(
+            "id", xml_comment("c").alias("cm"), xml_pi("t", "d").alias("pi")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r, (_, _, _, want_cm, want_pi) in zip(got, rows):
+        assert r["cm"] == want_cm, (r["id"], r["cm"], want_cm)
+        assert r["pi"] == want_pi, (r["id"], r["pi"], want_pi)

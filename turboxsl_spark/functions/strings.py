@@ -170,6 +170,44 @@ def xml_escape(c: Column | str) -> Column:
     return c
 
 
+def xml_comment(c: Column | str) -> Column:
+    """``xsl:comment`` output constructor (reference:
+    src/instructions.c:467-478 emits the node; SURVEY §2.2 maps it to a
+    metadata output column).
+
+    XSLT 1.0 §7.4 lets a processor either recover or SIGNAL AN ERROR
+    when comment content contains ``--`` or ends with ``-``; this
+    engine signals: invalid content yields NULL (filterable, and
+    engine-reproducible — the recovery rewrite is lookahead-regex
+    territory that not every SQL engine can express). NULL input stays
+    NULL, empty content is the valid ``<!---->``."""
+    c = F.col(c) if isinstance(c, str) else c
+    invalid = c.contains("--") | c.endswith("-")
+    return F.when(~invalid, F.concat(F.lit("<!--"), c, F.lit("-->")))
+
+
+_NCNAME_RE = r"^[A-Za-z_][A-Za-z0-9._\-]*$"
+
+
+def xml_pi(target: Column | str, data: Column | str) -> Column:
+    """``xsl:processing-instruction`` constructor (XSLT 1.0 §7.3).
+
+    Errors (→ NULL, the signalling choice, same rationale as
+    ``xml_comment``): target not an NCName or equal to ``xml`` in any
+    case; data containing ``?>``. Data is emitted verbatim after a
+    single separating space; empty data yields ``<?target ?>`` —
+    matching the reference serializer's unconditional space
+    (src/instructions.c PI branch)."""
+    t = F.col(target) if isinstance(target, str) else target
+    d = F.col(data) if isinstance(data, str) else data
+    bad = (
+        ~t.rlike(_NCNAME_RE)
+        | (F.lower(t) == "xml")
+        | d.contains("?>")
+    )
+    return F.when(~bad, F.concat(F.lit("<?"), t, F.lit(" "), d, F.lit("?>")))
+
+
 def avt_template(template: str, **slots: Column) -> Column:
     """Attribute-value-template expansion: ``"a {x} b {y}"`` with Columns.
 
