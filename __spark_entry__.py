@@ -1041,6 +1041,20 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per language, oracle-checked EXACTLY
+    (not just within error bounds): the k-minimum-values summary is a
+    pure function of the md5 key hash, so DuckDB reproduces n_kept,
+    the k-th order statistic, and the (k-1)·2^32/h_k estimate
+    bit-for-bit. Construction is partition-parallel (per-partition
+    min-k prune, then a bounded global order statistic — no task ever
+    sees a group's full distinct set)."""
+    from turboxsl_spark.operators.sketches import kmv_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    return kmv_distinct(d, "lang", "doc_id", k=32, salt="kmv_v1").orderBy("lang")
+
+
 def q_comment_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 xsl:comment / xsl:processing-instruction output
     constructors (reference src/instructions.c:467-478), oracle-checked
@@ -1151,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "comment_pi": q_comment_pi,
+        "kmv_distinct": q_kmv_distinct,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1537,6 +1552,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "kmv_distinct": f"""
+            WITH h AS (
+                SELECT DISTINCT lang,
+                       CAST(('0x' || substr(md5('kmv_v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv
+                FROM documents),
+            r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+            k AS (SELECT lang, COUNT(*) AS cnt, MAX(hv) AS hk FROM r WHERE rn <= 32 GROUP BY lang)
+            SELECT lang, CAST(cnt AS BIGINT) AS n_kept, CAST(hk AS BIGINT) AS kth_hash,
+                   CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
+                        ELSE {float(31 << 32)!r} / hk END AS distinct_est
+            FROM k ORDER BY lang
         """,
         "comment_pi": r"""
             WITH t AS (

@@ -110,3 +110,15 @@ def test_packing_validation(spark):
         pack_fixed_boundary(df, ["doc_id"], "n_tok", window=0)
     with pytest.raises(ValueError):
         pack_greedy(df, "doc_id", "n_tok", window=-1, shard_col="doc_id")
+
+
+def test_fixed_boundary_plan_single_window_exchange(spark):
+    df = spark.createDataFrame(_docs(100), "doc_id long, n_tok long")
+    out = pack_fixed_boundary(
+        df, ["doc_id"], "n_tok", window=64,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly the per-shard window shuffle; no Python anywhere
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
