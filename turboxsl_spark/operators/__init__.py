@@ -7,6 +7,15 @@ from turboxsl_spark.operators.windows import (
 )
 from turboxsl_spark.operators.sessionize import with_session_id
 from turboxsl_spark.operators.asof import asof_join
+from turboxsl_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+    mix_resample,
+)
+from turboxsl_spark.operators.packing import pack_fixed_boundary, pack_greedy
+from turboxsl_spark.operators.sketches import kmv_distinct
+from turboxsl_spark.operators.rank import exact_quantiles, global_rank, global_topk
 
 __all__ = [
     "conv_window",
@@ -16,4 +25,14 @@ __all__ = [
     "with_running",
     "with_session_id",
     "asof_join",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+    "mix_resample",
+    "pack_fixed_boundary",
+    "pack_greedy",
+    "kmv_distinct",
+    "exact_quantiles",
+    "global_rank",
+    "global_topk",
 ]
