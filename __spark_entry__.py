@@ -1041,6 +1041,30 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time rollup (the hypertable/continuous-aggregate
+    pattern): 1-hour F.window buckets per event_type with count +
+    decimal-exact value sums. The same expression runs under
+    readStream (F.window is the streaming-compatible group key);
+    oracle re-derives buckets with date_trunc. One shuffle, map-side
+    partial agg."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch per language, oracle-checked EXACTLY
     (not just within error bounds): the k-minimum-values summary is a
@@ -1166,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "comment_pi": q_comment_pi,
         "kmv_distinct": q_kmv_distinct,
+        "tumbling_rollup": q_tumbling_rollup,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1552,6 +1577,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "tumbling_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY bucket_start, event_type
         """,
         "kmv_distinct": f"""
             WITH h AS (

@@ -332,3 +332,75 @@ def test_streaming_asof_late_spine_and_fact(spark, tmp_path):
     assert got.loc[1, "fact_value_asof"] is None or pd.isna(got.loc[1, "fact_value_asof"])
     # the late fact (9.0 @50) must NOT displace the carried 1.0 @100
     assert got.loc[2, "fact_value_asof"] == 1.0
+
+
+def test_tumbling_rollup_streaming_matches_batch(spark, tmp_path):
+    """The q_tumbling_rollup expression is streaming-compatible: the
+    SAME F.window groupBy run as a file readStream (complete mode)
+    equals the batch aggregate."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 6 * 3600, n), unit="s"),
+            "event_type": rng.choice(["click", "view", "error"], n),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "roll_src")
+    os.makedirs(src)
+    for i in range(4):
+        pdf.iloc[i * (n // 4) : (i + 1) * (n // 4)].to_parquet(
+            f"{src}/part-{i}.parquet", index=False
+        )
+
+    def rollup(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    batch_src = spark.read.parquet(src)
+    want = (
+        rollup(batch_src)
+        .toPandas()
+        .sort_values(["bucket_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(src)
+    q = (
+        rollup(stream_src)
+        .writeStream.format("memory")
+        .queryName("t_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("t_rollup")
+        .toPandas()
+        .sort_values(["bucket_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["sum_value"].tolist() == want["sum_value"].tolist()
+    assert got["bucket_start"].tolist() == want["bucket_start"].tolist()
