@@ -1041,6 +1041,40 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed end-to-end training-shard build, oracle-checked: the
+    repetition filter (n_words >= 20, distinct_word_frac >= 0.3) feeds
+    the deterministic 90/10 train/val hash split, and survivors are
+    packed into 512-token sequences per (split, doc_id % 4) shard —
+    repetition_metrics ∘ hash_split ∘ pack_fixed_boundary composing in
+    one plan: a map-only filter + the map-only split + ONE window
+    shuffle. DuckDB rebuilds the identical shard assignment."""
+    from turboxsl_spark.functions.text_analysis import repetition_metrics, words_of
+    from turboxsl_spark.operators.packing import pack_fixed_boundary
+    from turboxsl_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").withColumn("w", words_of("text"))
+    m = d.select("doc_id", repetition_metrics(F.col("w")).alias("m")).select(
+        "doc_id", "m.n_words", "m.distinct_word_frac"
+    )
+    filt = m.where((F.col("n_words") >= 20) & (F.col("distinct_word_frac") >= 0.3))
+    sp = hash_split(filt, "doc_id", {"train": 0.9, "val": 0.1}, salt="shards_v1")
+    packed = pack_fixed_boundary(
+        sp,
+        ["doc_id"],
+        "n_words",
+        window=512,
+        shard_col=F.concat_ws("|", F.col("split"), F.pmod(F.col("doc_id"), F.lit(4))),
+    )
+    return packed.select(
+        "doc_id",
+        "split",
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("shard"),
+        F.col("n_words").cast("long").alias("n_tok"),
+        "seq_id",
+    ).orderBy("doc_id")
+
+
 def q_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time rollup (the hypertable/continuous-aggregate
     pattern): 1-hour F.window buckets per event_type with count +
@@ -1191,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_pi": q_comment_pi,
         "kmv_distinct": q_kmv_distinct,
         "tumbling_rollup": q_tumbling_rollup,
+        "corpus_shards": q_corpus_shards,
         "mix_resample": q_mix_resample,
         "base64": q_base64,
         "url_escape": q_url_escape,
@@ -1577,6 +1612,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN hp < {int((0.7 + 0.2) * 2**32)} THEN 'val'
                         ELSE 'test' END AS split
             FROM h WHERE hs < {int(0.3 * 2**32)}
+        """,
+        "corpus_shards": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents),
+            m AS (
+                SELECT doc_id, len(ws) AS n,
+                       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dwf
+                FROM w WHERE len(ws) > 0),
+            filt AS (SELECT doc_id, n FROM m WHERE n >= 20 AND dwf >= 0.3),
+            sp AS (
+                SELECT doc_id, n,
+                       CASE WHEN CAST(('0x' || substr(md5('shards_v1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                                 < {int(0.9 * 2**32)} THEN 'train' ELSE 'val' END AS split
+                FROM filt)
+            SELECT doc_id, split, CAST(doc_id % 4 AS BIGINT) AS shard,
+                   CAST(n AS BIGINT) AS n_tok,
+                   CAST(FLOOR((SUM(n) OVER (PARTITION BY split, doc_id % 4 ORDER BY doc_id) - n) / 512.0) AS BIGINT) AS seq_id
+            FROM sp ORDER BY doc_id
         """,
         "tumbling_rollup": """
             SELECT date_trunc('hour', ts) AS bucket_start,
