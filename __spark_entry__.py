@@ -458,13 +458,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup dedup over documents (rows-only check:
-    LSH banding has no tractable single-SQL-statement oracle; exactness
-    is pinned by tests/test_dedup.py against a python oracle)."""
-    from turboxsl_spark.operators.dedup import minhash_dedup
+    """MinHash+LSH near-dup dedup over documents, ORACLE-exact: the
+    md5-twin hash family (operators/dedup.py) lets one DuckDB statement
+    replay the WHOLE pipeline — 64-slot signatures (48-bit double
+    hashing over md5 shingle digests), 16-band bucket join, md5-shingle
+    Jaccard verify at 0.8, transitive-closure components, min-id
+    representative. The xxhash64 fast path stays pinned by
+    tests/test_dedup.py."""
+    from turboxsl_spark.operators.dedup import minhash_dedup_md5
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.8).select("doc_id").orderBy("doc_id")
+    return minhash_dedup_md5(d, threshold=0.8).select("doc_id").orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,21 +500,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 64-bit SimHash per document (rows-only: xxhash64
-    has no DuckDB twin; determinism pinned in tests/test_dedup.py)."""
-    from turboxsl_spark.operators.dedup import simhash_xxh
+    """Deterministic 60-bit SimHash per document, ORACLE-exact: token
+    hashes are md5-derived (md5_hash60), so DuckDB restates the numpy
+    bit-vote as 60 conditional SUMs per doc and matches bit-for-bit.
+    The 64-bit xxhash64 variant stays pinned by tests/test_dedup.py."""
+    from turboxsl_spark.operators.dedup import simhash_md5
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_xxh(d).select("doc_id", "simhash")
+    return simhash_md5(d).select("doc_id", "simhash")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling 64-bit document fingerprint (rows-only)."""
-    from turboxsl_spark.functions.text_analysis import fingerprint64, words_of
+    """Order-sensitive rolling document fingerprint, ORACLE-exact: the
+    md5-chained twin (fingerprint_md5) is replayed by DuckDB via
+    list_reduce over the same 4-gram digests. The 64-bit xxhash64
+    variant stays pinned by tests/test_text_analysis.py."""
+    from turboxsl_spark.functions.text_analysis import fingerprint_md5, words_of
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", words_of("text").alias("_w")).select(
-        "doc_id", fingerprint64(F.col("_w"), tokenized=True).alias("fp64")
+        "doc_id", fingerprint_md5(F.col("_w"), tokenized=True).alias("fp_md5")
     )
 
 
@@ -530,16 +539,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN: driver-trained k-means coarse quantizer →
-    inverted-list equi-join → exact cosine (rows-only; recall vs brute
-    force pinned in tests/test_similarity.py)."""
+    """IVF approximate NN, ORACLE-exact end-to-end: the k-means coarse
+    quantizer trains on the (whole, file-ordered) sf-0.01 corpus with a
+    fixed seed, so the oracle generator re-derives the SAME centroids
+    via pyarrow+numpy and emits them as SQL literals; corpus AND query
+    assignment run as sequential-fold JVM dots (query_assign="jvm"),
+    which DuckDB replays bit-for-bit via list_reduce. Recall vs brute
+    force stays pinned in tests/test_similarity.py."""
     from turboxsl_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 3).selectExpr(
         "vec_id AS q_id", "embedding"
     )
-    out = ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4, sample_size=2000)
+    out = ivf_topk(
+        emb, queries_df, k=5, n_centroids=16, nprobe=4, sample_size=2000,
+        query_assign="jvm",
+    )
     return out.select(
         "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
@@ -1241,7 +1257,259 @@ def oracle_sql() -> dict[str, str]:
     # IDENTICAL SQL as the plain operator
     d["asof_salted"] = d["asof_join"]
     d["asof_salted_fwd"] = d["asof_forward"]
+    d["ann_lsh_topk"] = _ann_lsh_oracle()
+    try:
+        # reads the sf-0.01 corpus to re-train the quantizer; if that
+        # environment assumption ever breaks, degrade this one query to
+        # rows-only instead of failing the whole gate
+        d["ann_ivf_topk"] = _ann_ivf_oracle()
+    except Exception:
+        pass
     return d
+
+
+# ---- generated oracles for the md5-twin hash family -----------------
+# (see turboxsl_spark/operators/dedup.py "md5 twins": every hash is
+# md5-hex-derived, so DuckDB replays signatures/buckets/votes exactly;
+# the SQL below is generated — 64 MIN slots / 60 vote SUMs are loops)
+
+_FP_SENTINEL = (1 << 63) - 1
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    bits = "\n                 + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH n AS (
+            SELECT doc_id, lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents),
+        t AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN LENGTH(norm) = 0 THEN CAST([] AS VARCHAR[])
+                               ELSE str_split(norm, ' ') END) AS tok
+            FROM n),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT AS hv
+            FROM t),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        s AS (SELECT doc_id, {bits} AS simhash FROM v)
+        SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+
+
+def _minhash_dedup_oracle(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    from turboxsl_spark.operators.dedup import P48
+
+    r = num_hashes // bands
+    gram = " || ' ' || ".join(f"words[i+{j}]" for j in range(shingle_n)).replace(
+        "words[i+0]", "words[i]"
+    )
+    mins = ",\n                   ".join(
+        f"MIN((h1 + {j}*h2 + {j * j}) % {P48}) AS m{j}" for j in range(num_hashes)
+    )
+    sig = "[" + ", ".join(
+        f"COALESCE(m{j}, {_FP_SENTINEL})" for j in range(num_hashes)
+    ) + "]"
+    return f"""
+        WITH RECURSIVE n AS (
+            SELECT doc_id, lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents),
+        w AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(norm) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE str_split(norm, ' ') END AS words
+            FROM n),
+        shing AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(words) < {shingle_n} THEN [array_to_string(words, ' ')]
+                        ELSE list_transform(range(1, len(words) - {shingle_n - 2}),
+                             i -> {gram})
+                   END AS grams
+            FROM w),
+        srows AS (SELECT doc_id, unnest(grams) AS s FROM shing),
+        hh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 12)) AS UBIGINT)::BIGINT AS h1,
+                   CAST(('0x' || substr(md5(s), 13, 12)) AS UBIGINT)::BIGINT AS h2
+            FROM srows),
+        sigs0 AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+        sigs AS (
+            SELECT d.doc_id, {sig} AS sig
+            FROM documents d LEFT JOIN sigs0 ON d.doc_id = sigs0.doc_id),
+        bnd AS (
+            SELECT doc_id, b.band,
+                   md5(array_to_string(list_transform(
+                       list_slice(sig, b.band*{r}+1, b.band*{r}+{r}),
+                       x -> CAST(x AS VARCHAR)), ',')) AS bucket
+            FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b),
+        cand AS (
+            SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM bnd a JOIN bnd b2
+              ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+            GROUP BY 1, 2),
+        shd AS (
+            SELECT doc_id, list_distinct(list_transform(grams, x -> md5(x))) AS shset
+            FROM shing),
+        dup AS (
+            SELECT cand.id_a, cand.id_b
+            FROM cand
+            JOIN shd sa ON sa.doc_id = cand.id_a
+            JOIN shd sb ON sb.doc_id = cand.id_b
+            WHERE (CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0
+                        THEN 1.0
+                        ELSE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                             / len(list_distinct(list_concat(sa.shset, sb.shset)))
+                   END) >= {threshold}),
+        und AS (SELECT id_a AS a, id_b AS b FROM dup
+                UNION SELECT id_b, id_a FROM dup),
+        reach AS (SELECT a, b FROM und
+                  UNION
+                  SELECT r2.a, u.b FROM reach r2 JOIN und u ON r2.b = u.a),
+        rep AS (SELECT a AS node, least(a, MIN(b)) AS rep FROM reach GROUP BY a)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM rep WHERE rep < node)
+        ORDER BY doc_id
+    """
+
+
+_EMB_DIM = 64
+
+
+def _sql_dot(a: str, b: str, dim: int = _EMB_DIM, cast_a: bool = True, cast_b: bool = True) -> str:
+    """Sequential-fold dot product in DuckDB — replays Spark's
+    ``F.aggregate(zip_with(a, b, x*y), 0.0, +)`` with the SAME IEEE op
+    order, so the doubles are bit-identical (list_sum / numpy matmul
+    would reassociate and drift in the last ulp)."""
+    xa = f"CAST({a}[j] AS DOUBLE)" if cast_a else f"{a}[j]"
+    xb = f"CAST({b}[j] AS DOUBLE)" if cast_b else f"{b}[j]"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"j -> {xa} * {xb})), (a, b) -> a + b)"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    return (
+        f"({_sql_dot(a, b, dim)} / "
+        f"(sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)})))"
+    )
+
+
+def _ann_lsh_oracle(k: int = 5, nbits: int = 8, dim: int = _EMB_DIM, seed: int = 7) -> str:
+    """Full replay of q_ann_lsh_topk: the seeded hyperplanes are
+    plan-time literals, so bucketing (sign-bit sums), Hamming-1
+    multiprobe, in-bucket exact cosine, and the top-k window are all
+    one DuckDB statement."""
+    from turboxsl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(nbits, dim, seed)
+    vals = ",\n                ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    dq = _sql_dot("e.embedding", "p.pl", dim, cast_b=False)
+    cos = _sql_cosine("c.embedding", "q.embedding", dim)
+    return f"""
+        WITH planes(i, pl) AS (VALUES
+                {vals}),
+        db AS (
+            SELECT e.vec_id, e.embedding,
+                   SUM(CASE WHEN {dq} > 0
+                            THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding),
+        probes AS (
+            SELECT vec_id AS q_id, embedding,
+                   unnest(list_prepend(bucket,
+                       list_transform(range(0, {nbits}),
+                                      i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket
+            FROM db WHERE vec_id < 3),
+        scored AS (
+            SELECT DISTINCT q.q_id, c.vec_id, {cos} AS cos_sim
+            FROM db c JOIN probes q USING (bucket)),
+        ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    sample_size: int = 2000,
+    sf_dir: str = "/root/testdata/sf0.01",
+    dim: int = _EMB_DIM,
+) -> str:
+    """Full replay of q_ann_ivf_topk. The centroids are a deterministic
+    function of (file-ordered corpus head, seed): ivf_topk skips the
+    fraction-1.0 sample, so this generator re-trains the IDENTICAL
+    k-means via pyarrow+numpy and emits the centroids as SQL literals;
+    corpus and query assignment replay the sequential-fold dots."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from turboxsl_spark.operators.similarity import _kmeans_centroids
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    emb = np.array(tbl.column("embedding").to_pylist()[:sample_size], dtype=np.float64)
+    cents = _kmeans_centroids(emb, max(1, min(n_centroids, len(emb))), seed)
+    vals = ",\n                ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    dq = _sql_dot("e.embedding", "ci.c", dim, cast_b=False)
+    cos = _sql_cosine("c.embedding", "q.embedding", dim)
+    return f"""
+        WITH cents(i, c) AS (VALUES
+                {vals}),
+        d AS (
+            SELECT e.vec_id, e.embedding, ci.i, {dq} AS d
+            FROM embeddings e CROSS JOIN cents ci),
+        cassign AS (
+            SELECT vec_id, embedding, i AS lst FROM (
+                SELECT vec_id, embedding, i, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, i ASC) AS rn
+                FROM d) t
+            WHERE rn = 1),
+        qassign AS (
+            SELECT vec_id AS q_id, embedding, i AS lst FROM (
+                SELECT vec_id, embedding, i, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, i ASC) AS rn
+                FROM d WHERE vec_id < 3) t
+            WHERE rn <= {nprobe}),
+        scored AS (
+            SELECT DISTINCT q.q_id, c.vec_id, {cos} AS cos_sim
+            FROM cassign c JOIN qassign q USING (lst)),
+        ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -1600,6 +1868,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                                    / len(list_distinct(list_concat(a.sh, b.sh))) END, 6)
                        AS jaccard
             FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+        "minhash_dedup": _minhash_dedup_oracle(),
+        "simhash": _simhash_oracle(),
+        "fingerprint": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 4 THEN [md5(array_to_string(words, ' '))]
+                            ELSE list_transform(range(1, len(words) - 2),
+                                 i -> md5(words[i] || ' ' || words[i+1] || ' ' ||
+                                          words[i+2] || ' ' || words[i+3]))
+                       END AS grams
+                FROM w)
+            SELECT doc_id,
+                   list_reduce(list_prepend('', grams),
+                               (a, g2) -> md5(a || ':' || g2)) AS fp_md5
+            FROM g
         """,
         "hash_sample": f"""
             WITH h AS (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -149,35 +150,116 @@ def spawn_flagship(cores: int, data_path: str, mult: int = SCALING_MULT) -> dict
 
 def measure_scaling(
     data_path: str,
-    rounds: int = 3,
+    rounds: int = 7,
     cores_n: int = SCALING_N,
     cores_4n: int = SCALING_4N,
+    mult: int = SCALING_MULT,
+    max_extra_pairs: int = 4,
+    spread_gate: float = 0.3,
 ) -> dict:
     """Paired N / 4N measurement.
 
     Host throughput on this shared VM drifts ±15% over minutes, which
-    swamps a single N-then-4N comparison. Interleaving the two sizes
-    and taking the median of PER-PAIR ratios cancels slow-host epochs
-    (both sides of each ratio ran within the same minute).
+    swamps a single N-then-4N comparison. Methodology (each mechanism
+    earns its place against a measured failure mode):
+
+    * PAIRED ratios: both sides of each ratio run back-to-back within
+      ~1-2 minutes, so a slow-host epoch hits both sides, not one.
+    * ALTERNATING order (N,4N / 4N,N / ...): monotone drift inside a
+      pair biases alternate pairs in opposite directions and cancels
+      in the median.
+    * MEDIAN over >=7 pairs (odd; true statistics.median): r03's
+      committed artifact was the median of only 5 pairs spanning
+      0.194-0.959 — one collapsed pair dragged the median to 0.487.
+    * In-run RETRY: if the pair spread exceeds ``spread_gate`` (an
+      outlier epoch is detectable in-run), up to ``max_extra_pairs``
+      additional pairs are appended after a cool-down. EVERY pair is
+      kept and reported — the retry enlarges the sample, it never
+      discards measurements.
+
+    Every pair is also persisted (with a timestamp) to
+    BENCH_HISTORY.jsonl by the caller, so the committed artifact shows
+    the cross-session distribution, not a single session's weather.
     """
-    pairs = []
-    for i in range(rounds):
-        if i:
-            time.sleep(10)  # let the box recover between pairs
-        lo = spawn_flagship(cores_n, data_path)
-        hi = spawn_flagship(cores_4n, data_path)
+    pairs = []  # (thr_lo, thr_hi, eff)
+
+    def one_pair(flip: bool) -> None:
+        if flip:
+            hi = spawn_flagship(cores_4n, data_path, mult)
+            lo = spawn_flagship(cores_n, data_path, mult)
+        else:
+            lo = spawn_flagship(cores_n, data_path, mult)
+            hi = spawn_flagship(cores_4n, data_path, mult)
         thr_lo = lo["rows"] / lo["elapsed_sec"]
         thr_hi = hi["rows"] / hi["elapsed_sec"]
         pairs.append((thr_lo, thr_hi, thr_hi / (4 * thr_lo)))
-    pairs.sort(key=lambda p: p[2])
-    mid = pairs[len(pairs) // 2] if len(pairs) % 2 else pairs[len(pairs) // 2 - 1]
+
+    for i in range(rounds):
+        if i:
+            time.sleep(8)  # let the box recover between pairs
+        one_pair(flip=bool(i % 2))
+    effs = [p[2] for p in pairs]
+    extra = 0
+    while (
+        len(effs) > 1
+        and (max(effs) - min(effs)) > spread_gate
+        and extra < max_extra_pairs
+    ):
+        time.sleep(15)
+        one_pair(flip=bool((rounds + extra) % 2))
+        effs = [p[2] for p in pairs]
+        extra += 1
+    med_eff = statistics.median(effs)
+    # report throughputs from the pair closest to the median efficiency
+    mid = min(pairs, key=lambda p: abs(p[2] - med_eff))
     return {
         "cores_n": cores_n,
         "cores_4n": cores_4n,
+        "mult": mult,
         "turns_per_sec_n": round(mid[0], 1),
         "turns_per_sec_4n": round(mid[1], 1),
-        "efficiency": round(mid[2], 3),
-        "pair_efficiencies": [round(p[2], 3) for p in pairs],
+        "efficiency": round(med_eff, 3),
+        "pair_efficiencies": [round(e, 3) for e in effs],
+        "n_pairs": len(effs),
+        "extra_pairs_on_spread": extra,
+    }
+
+
+HISTORY_PATH = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+
+
+def append_history(entry: dict) -> None:
+    entry = dict(entry)
+    entry["wall_ts"] = round(time.time(), 1)
+    with open(HISTORY_PATH, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
+def history_summary(cores_n: int, cores_4n: int, last: int = 12) -> dict | None:
+    """Cross-session view: per-run medians of all recorded runs at this
+    (N, 4N) configuration, and their median-of-medians."""
+    if not os.path.exists(HISTORY_PATH):
+        return None
+    runs = []
+    with open(HISTORY_PATH) as f:
+        for line in f:
+            try:
+                e = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if e.get("cores_n") == cores_n and e.get("cores_4n") == cores_4n:
+                runs.append(e)
+    if not runs:
+        return None
+    runs = runs[-last:]
+    meds = [e["efficiency"] for e in runs]
+    all_pairs = [p for e in runs for p in e.get("pair_efficiencies", [])]
+    return {
+        "runs": len(meds),
+        "run_medians": [round(m, 3) for m in meds],
+        "median_of_medians": round(statistics.median(meds), 3),
+        "pairs_total": len(all_pairs),
+        "pairs_median": round(statistics.median(all_pairs), 3) if all_pairs else None,
     }
 
 
@@ -209,6 +291,8 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=1)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--scaling-only", action="store_true")
+    ap.add_argument("--rounds", type=int, default=7)
+    ap.add_argument("--scaling-mult", type=int, default=SCALING_MULT)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -218,7 +302,10 @@ def main() -> None:
         return
     if args.scaling_only:
         data_path = ensure_bench_transcripts(sf_name)
-        print(json.dumps(measure_scaling(data_path)))
+        s = measure_scaling(data_path, rounds=args.rounds, mult=args.scaling_mult)
+        append_history(s)
+        s["history"] = history_summary(s["cores_n"], s["cores_4n"])
+        print(json.dumps(s))
         return
 
     import __spark_entry__ as entrymod
@@ -234,9 +321,17 @@ def main() -> None:
     # quality, so ratios get the good host state.
     scaling = scaling_8_32 = None
     if not args.skip_scaling:
-        scaling = measure_scaling(data_path, rounds=5)
+        scaling = measure_scaling(data_path, rounds=args.rounds)
+        append_history(scaling)
+        scaling["history"] = history_summary(
+            scaling["cores_n"], scaling["cores_4n"]
+        )
         time.sleep(20)  # cool-down between pair sets
-        scaling_8_32 = measure_scaling(data_path, rounds=2, cores_n=8, cores_4n=32)
+        scaling_8_32 = measure_scaling(
+            data_path, rounds=3, cores_n=8, cores_4n=32, max_extra_pairs=1
+        )
+        append_history(scaling_8_32)
+        scaling_8_32["history"] = history_summary(8, 32)
         time.sleep(20)
 
     spark = get_spark("bench", cores=args.cores)
@@ -260,9 +355,8 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     qspread: dict[str, float] = {}
     for name, ts in samples.items():
-        ts = sorted(ts)
-        qtimes[name] = round(ts[len(ts) // 2], 3)  # median (odd reps)
-        qspread[name] = round(ts[-1] - ts[0], 3)
+        qtimes[name] = round(statistics.median(ts), 3)
+        qspread[name] = round(max(ts) - min(ts), 3)
 
     # flagship at current cores (in-process; warm-up then best of 2 —
     # the first execution of a plan pays JIT/codegen)
@@ -317,9 +411,13 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             "",
             "Same job, same input, identical plan (128 shuffle partitions both",
             "sides). Fresh JVM per measurement, full warm-up pass, best of 2",
-            "measured runs; N and 4N are INTERLEAVED and the reported number",
-            "is the median per-pair ratio (host throughput on this shared VM",
-            "drifts ±15% across minutes — pairing cancels slow-host epochs).",
+            "measured runs; N and 4N run back-to-back as PAIRS with the order",
+            "alternating pair-to-pair, and the reported number is the",
+            f"statistics.median of {s.get('n_pairs')} per-pair ratios (host",
+            "throughput on this shared VM drifts ±15% across minutes — pairing",
+            "cancels slow-host epochs; alternating order cancels within-pair",
+            "drift; if the pair spread exceeds 0.3, extra pairs are appended",
+            "in-run — every pair is kept, nothing is discarded).",
             "Scaling pairs run FIRST in a full bench, with cool-down pauses:",
             "sustained full-box load throttles this VM (measured: the same",
             "pair read 0.859 on an idle host and 0.14-0.70 at the end of a",
@@ -332,17 +430,31 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             "",
             f"**efficiency = thr_4N / (4 × thr_N) = {s['efficiency']}**",
             "",
-            f"Per-pair efficiencies this run: {s.get('pair_efficiencies')}.",
+            f"Per-pair efficiencies this run: {s.get('pair_efficiencies')}"
+            f" ({s.get('extra_pairs_on_spread', 0)} added by the spread retry).",
         ]
+        h = s.get("history")
+        if h:
+            lines += [
+                "",
+                "Cross-session history (BENCH_HISTORY.jsonl — every pair of",
+                "every recorded run, timestamps included; nothing pruned):",
+                f"{h['runs']} runs, per-run medians {h['run_medians']},",
+                f"**median-of-medians {h['median_of_medians']}** over",
+                f"{h['pairs_total']} total pairs (pair-level median "
+                f"{h['pairs_median']}).",
+            ]
         if "scaling_8_32" in result:
             s2 = result["scaling_8_32"]
+            h2 = s2.get("history") or {}
             lines += [
                 "",
                 "Insurance pair at the directive's literal sizes (8→32;",
                 "bandwidth-capped near 0.65 on this box — see below):",
                 f"local[8] {s2['turns_per_sec_n']} → local[32] "
                 f"{s2['turns_per_sec_4n']} turns/s, efficiency "
-                f"{s2['efficiency']} (pairs {s2['pair_efficiencies']}).",
+                f"{s2['efficiency']} (pairs {s2['pair_efficiencies']};"
+                f" history median {h2.get('median_of_medians')}).",
             ]
         lines += [
             "Cross-session note: the shared host's absolute throughput swings",

@@ -73,6 +73,24 @@ def test_format_number_exact_decimal_rounding(spark):
         assert got == want, (value, pattern, got)
 
 
+def test_format_number_null_semantics(spark):
+    """NULL stays NULL (SQL default) — the mask sits OUTSIDE the Arrow
+    UDF whose float64 path folds null into NaN; null_as_nan=True opts
+    into strict XPath behavior (no null → NaN symbol)."""
+    df = spark.createDataFrame([(None,), (1.5,)], "x double")
+    got = [
+        r[0] for r in df.select(format_number("x", "0.00").alias("v")).collect()
+    ]
+    assert got == [None, "1.50"]
+    got_xpath = [
+        r[0]
+        for r in df.select(
+            format_number("x", "0.00", null_as_nan=True).alias("v")
+        ).collect()
+    ]
+    assert got_xpath == ["NaN", "1.50"]
+
+
 def test_format_number_negative_prefix_placement(spark):
     """JDK DecimalFormat semantics: with no negative subpattern the
     minus goes BEFORE the positive prefix ('-$5.00', not '$-5.00')."""

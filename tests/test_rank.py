@@ -101,3 +101,43 @@ def test_exact_quantiles_validation_and_empty(spark):
     out = exact_quantiles(empty, "v", [0.5], tiebreak=["id"])
     assert out.count() == 0
     assert out.columns == ["q", "value"]
+
+
+def test_default_scratch_cluster_safety():
+    """Non-local master + no scratch_dir/conf must RAISE at plan-build
+    time (a driver-local default silently drops partitions on a real
+    cluster); the spark.turboxsl.scratchDir conf resolves to a unique
+    subdir of the configured base."""
+    import pytest
+
+    from turboxsl_spark.operators.rank import _default_scratch
+
+    class _Conf:
+        def __init__(self, values):
+            self._v = values
+
+        def get(self, key, default=None):
+            return self._v.get(key, default)
+
+    class _Spark:
+        def __init__(self, values):
+            self.conf = _Conf(values)
+
+    with pytest.raises(ValueError, match="cluster-visible"):
+        _default_scratch(_Spark({"spark.master": "yarn"}), "t_")
+    with pytest.raises(ValueError, match="cluster-visible"):
+        _default_scratch(_Spark({"spark.master": "spark://host:7077"}), "t_")
+    got = _default_scratch(
+        _Spark({"spark.master": "yarn", "spark.turboxsl.scratchDir": "s3://bkt/scratch/"}),
+        "t_",
+    )
+    assert got.startswith("s3://bkt/scratch/t_") and len(got) > len("s3://bkt/scratch/t_")
+    # two resolutions must not collide
+    got2 = _default_scratch(
+        _Spark({"spark.master": "yarn", "spark.turboxsl.scratchDir": "s3://bkt/scratch"}),
+        "t_",
+    )
+    assert got != got2
+    # local master with no conf still gets a usable local tempdir
+    local = _default_scratch(_Spark({"spark.master": "local[4]"}), "t_")
+    assert local.startswith("/")

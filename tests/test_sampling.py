@@ -151,3 +151,27 @@ def test_sampling_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hash_sample_null_keys_distinct_and_deterministic(spark):
+    """NULL key components must not collide positionally (concat_ws
+    would skip them) and must hash deterministically — a NULL-keyed row
+    is kept/dropped reproducibly, matching the hashlib re-derivation
+    with the NUL-prefixed sentinel."""
+    from turboxsl_spark.operators.sampling import NULL_SENTINEL, _hash_u32
+
+    rows = [("a", None, "b"), ("a", "b", None), (None, None, None)]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, k3 string")
+    got = [
+        r[0]
+        for r in df.select(_hash_u32(["k1", "k2", "k3"], "s").alias("h")).collect()
+    ]
+    # positional distinctness: ('a',NULL,'b') != ('a','b',NULL)
+    assert got[0] != got[1]
+
+    def py_hash(*keys):
+        parts = "\x1f".join(["s"] + [NULL_SENTINEL if k is None else k for k in keys])
+        return int(hashlib.md5(parts.encode()).hexdigest()[:8], 16)
+
+    want = [py_hash(*r) for r in rows]
+    assert got == want

@@ -334,6 +334,51 @@ def test_streaming_asof_late_spine_and_fact(spark, tmp_path):
     assert got.loc[2, "fact_value_asof"] == 1.0
 
 
+def test_streaming_asof_equal_ts_fact_tiebreak(spark, tmp_path):
+    """A cross-batch fact at EXACTLY the carried watermark ts follows
+    the batch (ts, side, seq) tie-break: seq <= stored seq → counted
+    late, never applied; seq > stored seq → applied."""
+    from turboxsl_spark.streaming.stateful import run_streaming_asof_from_dir
+
+    base = pd.Timestamp("2025-06-01")
+    cols = ["conv_id", "ts", "side", "seq", "fact_value", "spine_id"]
+    sec = lambda s: base + pd.Timedelta(seconds=s)
+    # batch 1: fact v=1.0 @100 seq=5
+    b1 = pd.DataFrame([("c0", sec(100), 1, 5, 1.0, None)], columns=cols)
+    # batch 2: equal-ts fact seq=3 (REGRESSION — would sort before the
+    # stored fact in batch order), then a spine @200
+    b2 = pd.DataFrame(
+        [("c0", sec(100), 1, 3, 7.0, None), ("c0", sec(200), 0, 0, None, 0)],
+        columns=cols,
+    )
+    # batch 3: equal-ts fact seq=9 (legitimately after), spine @300
+    b3 = pd.DataFrame(
+        [("c0", sec(100), 1, 9, 8.0, None), ("c0", sec(300), 0, 0, None, 1)],
+        columns=cols,
+    )
+    src = str(tmp_path / "asof_eqts_src")
+    os.makedirs(src)
+    for i, b in enumerate((b1, b2, b3)):
+        b = b.copy()
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b["side"] = b["side"].astype("int32")
+        b["seq"] = b["seq"].astype("int64")
+        b["spine_id"] = b["spine_id"].astype("Int64")
+        b.to_parquet(f"{src}/part-{i:02d}.parquet", index=False)
+
+    got = (
+        run_streaming_asof_from_dir(spark, src, query_name="t_asof_eqts")
+        .toPandas()
+        .sort_values("spine_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["spine_id"].tolist() == [0, 1]
+    # spine 0 must still see the stored 1.0, not the seq-3 regression
+    assert got.loc[0, "fact_value_asof"] == 1.0
+    # spine 1 sees the seq-9 equal-ts fact, which IS a legal update
+    assert got.loc[1, "fact_value_asof"] == 8.0
+
+
 def test_tumbling_rollup_streaming_matches_batch(spark, tmp_path):
     """The q_tumbling_rollup expression is streaming-compatible: the
     SAME F.window groupBy run as a file readStream (complete mode)

@@ -56,3 +56,45 @@ def test_fingerprint_deterministic_order_sensitive(spark):
     b = _one(spark, fingerprint64(F.col("text")), "six five four three two one")
     assert a == a2
     assert a != b
+
+
+def test_fingerprint_md5_matches_python_chain(spark):
+    """The md5-chained fingerprint twin must equal a pure-python replay
+    (the same fold the DuckDB oracle runs via list_reduce)."""
+    import hashlib
+
+    from turboxsl_spark.functions.text_analysis import fingerprint_md5
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "tiny doc"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", fingerprint_md5("text").alias("fp")
+        ).collect()
+    }
+
+    def py_fp(text):
+        # mirror _word_set: split of the EMPTY normalized string is ['']
+        norm = " ".join(text.split()).lower()
+        words = norm.split(" ")
+        if len(words) < 4:
+            grams = [hashlib.md5(" ".join(words).encode()).hexdigest()]
+        else:
+            grams = [
+                hashlib.md5(" ".join(words[i : i + 4]).encode()).hexdigest()
+                for i in range(len(words) - 3)
+            ]
+        acc = ""
+        for g in grams:
+            acc = hashlib.md5((acc + ":" + g).encode()).hexdigest()
+        return acc
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_fp(text), doc_id
+    # order sensitivity: same words, different order → different chain
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "f e d c b a")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in df2.select(fingerprint_md5("text").alias("fp")).collect()]
+    assert fps[0] != fps[1]

@@ -143,6 +143,7 @@ def format_number(
     pattern: str,
     symbols: DecimalFormat | str = DecimalFormat(),
     registry: DecimalFormatRegistry | None = None,
+    null_as_nan: bool = False,
 ) -> Column:
     """Vectorized format-number(value, pattern[, decimal-format]).
 
@@ -151,9 +152,11 @@ def format_number(
     resolution happens at plan-build time, so an undeclared name fails
     fast rather than per row.
 
-    NULL input renders as the NaN symbol (the Arrow float64 path folds
-    null into NaN) — matching XPath 1.0, where there is no null and
-    format-number of an empty value yields 'NaN'.
+    NULL input yields NULL (SQL semantics — the null mask sits OUTSIDE
+    the Arrow UDF, whose float64 path would otherwise fold null into
+    NaN). Pass ``null_as_nan=True`` for strict XPath 1.0 behavior,
+    where there is no null and format-number of an empty value renders
+    the NaN symbol.
     """
     if isinstance(symbols, str):
         symbols = (registry or DecimalFormatRegistry()).get(symbols)
@@ -164,4 +167,7 @@ def format_number(
     def _fmt(s: pd.Series) -> pd.Series:
         return s.map(lambda v: _format_one(v, parsed, symbols))
 
-    return _fmt(c.cast("double"))
+    out = _fmt(c.cast("double"))
+    if null_as_nan:
+        return F.when(c.isNull(), F.lit(symbols.nan)).otherwise(out)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)

@@ -76,6 +76,126 @@ def shingle_hashes(tokens: Column, n: int = 3) -> Column:
     )
 
 
+# ---------------------------------------------------------------------
+# Engine-portable md5 hash family ("md5 twins").
+#
+# Every hash below derives from md5 hex digests, so ANY engine that can
+# md5 — the DuckDB correctness oracle, pandas, a future engine port —
+# reproduces signatures, LSH buckets, and fingerprints BIT-EXACTLY,
+# which is what lets the driver's oracle gate check the full near-dup
+# pipeline end-to-end instead of rows-only. The xxhash64 variants above
+# stay the production fast path (multi-arg tuple hashing, no digest
+# strings); the twins trade ~2-3x map-side hash cost for end-to-end
+# oracle checkability — the SHAPE of the plan (explode → fused min
+# aggs → banded equi-self-join → candidate-only verify → CC) is
+# identical.
+#
+# MinHash slots use 48-bit enhanced double hashing (Kirsch &
+# Mitzenmacher): slot_j(s) = (h1(s) + j*h2(s) + j**2) mod P48 with
+# h1/h2 = the first/second 12 hex chars of md5(shingle). Unlike the
+# affine-over-one-hash family the xxh path replaced (piecewise-
+# monotone, slots correlated), h1 and h2 are INDEPENDENT 48-bit
+# digests, so slots decorrelate; agreement tracks Jaccard within the
+# same tolerance as the fully-mixing xxh family (property-tested in
+# tests/test_dedup.py). Max slot value h1 + 63*h2 + 63**2 < 2**54
+# stays inside BIGINT arithmetic in both engines — no overflow, no
+# engine-specific wrap semantics.
+P48 = (1 << 48) - 59  # largest prime below 2**48
+_SIG_SENTINEL = (1 << 63) - 1
+
+
+def _hex_long(digest: Column, start: int, n: int) -> Column:
+    """Hex substring of a digest column → non-negative BIGINT (n <= 15
+    keeps the value under 2**60, inside long range in any engine)."""
+    return F.conv(F.substring(digest, start, n), 16, 10).cast("long")
+
+
+def md5_hash60(c: Column | str) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 —
+    DuckDB: ``CAST(('0x' || substr(md5(c), 1, 15)) AS UBIGINT)``."""
+    c = F.col(c) if isinstance(c, str) else c
+    return _hex_long(F.md5(c), 1, 15)
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    out: str = "minhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """md5-twin of ``minhash_signatures`` (same plan shape: explode →
+    k fused min aggregates, map-side partial combine; see the xxh
+    docstring for the scale rationale).
+
+    signature[j] = min over shingles s of (h1 + j*h2 + j*j) mod P48,
+    h1/h2 = 12-hex-char halves of md5(shingle string). Docs with no
+    shingles share the max-long sentinel signature (as in the xxh
+    path). One md5 per shingle, k arithmetic slots derived from it —
+    NOT k digests per shingle.
+    """
+    exploded = df.select(F.col(id_col), tokenize(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.explode_outer(shingles(F.col("_toks"), shingle_n)).alias("_s"),
+    )
+    d = F.md5(F.col("_s"))
+    hashed = exploded.select(
+        F.col(id_col),
+        _hex_long(d, 1, 12).alias("_h1"),
+        _hex_long(d, 13, 12).alias("_h2"),
+    )
+    # NULL shingle (explode_outer of an empty doc) → NULL h1/h2 → NULL
+    # slot → min skips it → COALESCE sentinel, exactly as the xxh path
+    aggs = [
+        F.min(
+            (F.col("_h1") + F.lit(j) * F.col("_h2") + F.lit(j * j)) % F.lit(P48)
+        ).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    sentinel = F.lit(_SIG_SENTINEL).cast("long")
+    sig = F.array(*[F.coalesce(F.col(f"_m{j}"), sentinel) for j in range(num_hashes)])
+    sig_rows = hashed.groupBy(id_col).agg(*aggs).select(F.col(id_col), sig.alias(out))
+    return df.join(sig_rows, id_col)
+
+
+def minhash_dedup_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    cc_max_rounds: int = 16,
+) -> DataFrame:
+    """md5-twin of ``minhash_dedup`` — the variant the driver's DuckDB
+    oracle replays end-to-end (signatures, band buckets, Jaccard
+    verify, transitive-closure components, min-id representative)."""
+    sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col=id_col)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, "minhash", bands, num_hashes // bands, hasher="md5"
+    )
+    dupes = ngram_jaccard(pairs, df, id_col, text_col, shingle_n, hasher="md5").where(
+        F.col("jaccard") >= threshold
+    )
+    comp = duplicate_components(dupes, max_rounds=cc_max_rounds)
+    losers = comp.where(F.col("rep") < F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """md5-twin of ``simhash_xxh``: 60-bit SimHash (bits 60-63 always
+    zero) over md5-derived token hashes; same vectorized numpy
+    bit-vote. The DuckDB oracle restates the vote as 60 conditional
+    SUMs per doc — bit-exact."""
+    df = df.withColumn("_sh_toks", tokenize(text_col))
+    hashes = F.transform(F.col("_sh_toks"), lambda t: md5_hash60(t))
+    return df.withColumn(out, _bitvote_udf(hashes)).drop("_sh_toks")
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -163,24 +283,31 @@ def lsh_candidate_pairs(
     sig_col: str = "minhash",
     bands: int = 16,
     rows_per_band: int = 4,
+    hasher: str = "xxh64",
 ) -> DataFrame:
     """Band the signatures, bucket-join within (band, bucket_hash).
 
     Returns distinct candidate pairs (id_a < id_b). The self-join is an
     equi-join on the bucket key — a single shuffle, no n² blowup.
+
+    ``hasher="md5"`` buckets on md5 of the comma-joined band slice
+    (engine-portable: DuckDB ``md5(array_to_string(list_slice(...)))``)
+    instead of the faster JVM array xxhash64.
     """
+
+    def bucket_of(b: int) -> Column:
+        sl = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+        if hasher == "md5":
+            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
+        return F.xxhash64(sl)
+
     band_idx = list(range(bands))
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
                     for b in band_idx
                 ]
             )
@@ -202,16 +329,26 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    hasher: str = "xxh64",
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage).
 
     Computed over 64-bit shingle hashes (no shingle strings built, long
-    arrays intersect ~10x faster; 64-bit collisions are negligible)."""
+    arrays intersect ~10x faster; 64-bit collisions are negligible).
+    ``hasher="md5"`` uses md5-hex shingle identities instead — the
+    engine-portable twin the DuckDB oracle reproduces; same Jaccard
+    (identity sets are identical up to vanishing digest collisions)."""
+    if hasher == "md5":
+        ident = F.transform(
+            shingles(F.col("_toks"), shingle_n), lambda s: F.md5(s)
+        )
+    else:
+        ident = shingle_hashes(F.col("_toks"), shingle_n)
     sh = docs.select(
         F.col(id_col).alias("_jid"), tokenize(text_col).alias("_toks")
     ).select(
         "_jid",
-        F.array_distinct(shingle_hashes(F.col("_toks"), shingle_n)).alias("_sh"),
+        F.array_distinct(ident).alias("_sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -367,11 +504,18 @@ def embedding_near_dup_pairs(
     ``max_bucket`` hard-caps adversarial buckets (e.g. a degenerate
     all-identical region): (band, bucket) groups larger than the cap
     are excluded from the self-join, trading recall inside that bucket
-    for a hard bound on join fan-out. The count survives as the
-    ``_bucket_n`` you can inspect on the banded side.
+    for a hard bound on join fan-out. The oversized keys are found with
+    a map-side-combined ``groupBy(count)`` over just the two key
+    columns and removed via a BROADCAST anti-join — the oversized set
+    is tiny by construction (each key in it holds > max_bucket rows),
+    so this never windows/materializes the exploded table the way a
+    ``count() over (partition by band, bucket)`` would (that window is
+    a full shuffle+sort of the 4x-exploded vectors; measured 1.5x
+    slower at sf0.1).
 
-    Shuffles: one on (band, bucket) for the size window + self-join
-    (co-partitioned), one pair-dedup aggregation on candidates only.
+    Shuffles: one (band, bucket) count agg over two small columns, one
+    co-partitioned self-join, one pair-dedup aggregation on candidates
+    only.
     """
     from turboxsl_spark.operators.similarity import cosine, random_hyperplane_bucket
 
@@ -399,10 +543,13 @@ def embedding_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_v", F.col("bb._band").alias("_band"), F.col("bb._bkt").alias("_bkt"))
-    wb = Window.partitionBy("_band", "_bkt")
-    banded = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(wb)).where(
-        F.col("_bucket_n") <= max_bucket
+    oversized = (
+        banded.groupBy("_band", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("_band", "_bkt")
     )
+    banded = banded.join(F.broadcast(oversized), ["_band", "_bkt"], "left_anti")
     l, rr = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(rr, ["_band", "_bkt"])

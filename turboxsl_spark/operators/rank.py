@@ -40,6 +40,7 @@ from __future__ import annotations
 import math
 import shutil
 import tempfile
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -51,6 +52,32 @@ def cleanup_scratch(path: str) -> None:
     """Remove a local scratch directory produced by ``global_rank``
     (call after the ranked output has been materialized/written)."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+SCRATCH_CONF = "spark.turboxsl.scratchDir"
+
+
+def _default_scratch(spark, prefix: str) -> str:
+    """Resolve a scratch location every EXECUTOR can reach.
+
+    Priority: the ``spark.turboxsl.scratchDir`` conf (point it at
+    HDFS/S3/shared-FS scratch on a cluster) → a driver-local temp dir,
+    which is only valid when the executors ARE the driver process
+    (local[...] master). On any other master with no conf set this
+    RAISES at plan-build time — a driver-local default would let each
+    executor silently write to its own filesystem and drop partitions.
+    """
+    base = spark.conf.get(SCRATCH_CONF, None)
+    if base:
+        return f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"global_rank scratch on master {master!r}: executors cannot "
+            f"read the driver's temp dir — pass scratch_dir= or set "
+            f"{SCRATCH_CONF} to a cluster-visible path (HDFS/S3/NFS)"
+        )
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 def global_rank(
@@ -69,10 +96,13 @@ def global_rank(
 
     ``materialize="scratch"`` (default, the unbounded-input path):
     write-once-read-twice via parquet. ``scratch_dir`` is where the
-    intermediate lands (defaults to a local temp dir — on a real
-    cluster pass a shared path, e.g. HDFS/S3 scratch); the returned
-    DataFrame READS from it lazily; free it with ``cleanup_scratch``
-    once the ranked output is materialized.
+    intermediate lands; when omitted it resolves via
+    ``spark.turboxsl.scratchDir`` (set it to HDFS/S3/shared-FS scratch
+    on a cluster), falls back to a local temp dir ONLY under a
+    local[...] master, and raises otherwise (executors on other nodes
+    cannot read the driver's /tmp). The returned DataFrame READS from
+    it lazily; free it with ``cleanup_scratch`` once the ranked output
+    is materialized.
 
     ``materialize="memory"``: a Spark cache instead — ONLY for inputs
     already bounded by construction (``global_topk`` ranks ≤ k rows);
@@ -95,7 +125,7 @@ def global_rank(
         part = ranged.localCheckpoint(eager=True)
     else:
         if scratch_dir is None:
-            scratch_dir = tempfile.mkdtemp(prefix="turboxsl_global_rank_")
+            scratch_dir = _default_scratch(spark, "turboxsl_global_rank_")
         # ONE range exchange, written once; both jobs below read this —
         # partition ids are frozen in the data, immune to resample drift
         ranged.write.mode("overwrite").parquet(scratch_dir)
@@ -174,7 +204,7 @@ def exact_quantiles(
     ]
     own_scratch = scratch_dir is None
     if own_scratch:
-        scratch_dir = tempfile.mkdtemp(prefix="turboxsl_quantiles_")
+        scratch_dir = _default_scratch(spark, "turboxsl_quantiles_")
     try:
         ranked = global_rank(slim, order, out="_q_rank", scratch_dir=scratch_dir)
         # the result is bounded by len(qs) — materialize it eagerly so

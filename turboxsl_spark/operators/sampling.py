@@ -16,9 +16,12 @@ as a uniform integer in [0, 2^32); keep iff it falls below
 ``rate * 2^32``; splits partition the same axis by cumulative weights.
 ``SEP`` is the ASCII unit separator ``\\x1f`` so that multi-key tuples
 like ('ab','c') and ('a','bc') hash differently — any engine can
-reproduce it (DuckDB: ``chr(31)``, Python: ``"\\x1f"``). Map-only, no
-shuffle, JVM-side (md5 + conv are codegen expressions). ``salt``
-decorrelates independent draws over the same keys.
+reproduce it (DuckDB: ``chr(31)``, Python: ``"\\x1f"``). NULL key
+components are coalesced to a NUL-prefixed sentinel before the concat
+(see ``NULL_SENTINEL``) so tuples with NULLs in different positions
+stay distinct and deterministic. Map-only, no shuffle, JVM-side (md5 +
+conv are codegen expressions). ``salt`` decorrelates independent draws
+over the same keys.
 """
 
 from __future__ import annotations
@@ -34,9 +37,20 @@ _U32 = float(1 << 32)
 SEP = "\x1f"
 
 
+# NULL key components are encoded as a distinct sentinel BEFORE the
+# concat: concat_ws silently skips NULL args, which would make the key
+# tuples ('a', NULL, 'b') and ('a', 'b', NULL) collide and a NULL
+# single key hash to the bare salt. The sentinel starts with NUL so it
+# cannot collide with a real string value of any cast key (cast never
+# produces NUL), keeping the tuple encoding injective. Any engine
+# reproduces it: DuckDB ``coalesce(c::VARCHAR, chr(0)||'null')``.
+NULL_SENTINEL = "\x00null"
+
+
 def _hash_u32(key_cols: Sequence[Column | str], salt: str) -> Column:
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    digest = F.md5(F.concat_ws(SEP, F.lit(salt), *[c.cast("string") for c in cols]))
+    keyed = [F.coalesce(c.cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
+    digest = F.md5(F.concat_ws(SEP, F.lit(salt), *keyed))
     # first 8 hex chars → 32-bit uniform integer (conv returns string)
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
 

@@ -151,6 +151,27 @@ def _assign_udf(centroids: np.ndarray, nprobe: int):
     return assign
 
 
+def ivf_query_assign_jvm(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """Top-``nprobe`` nearest-centroid list ids, fully JVM-side.
+
+    Same centroid-literal trick as ``ivf_assign_jvm``: per-centroid
+    sequential-fold dots, sorted by (sim desc, idx asc) via
+    ``sort_array`` over (-sim, idx) structs, first ``nprobe`` ids.
+    Argmax ordering under a positive scale is normalization-invariant,
+    so the raw vector is used. This is the ENGINE-PORTABLE assignment:
+    the sequential fold matches the DuckDB oracle's ``list_reduce``
+    replay bit-for-bit, where numpy's blocked matmul (``_assign_udf``)
+    may differ in the last ulp."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        entries.append(
+            F.struct((-dot(vec, lit)).alias("ns"), F.lit(i).alias("i"))
+        )
+    top = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    return F.transform(top, lambda st: st["i"].cast("int"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -162,6 +183,7 @@ def ivf_topk(
     nprobe: int = 3,
     sample_size: int = 4096,
     seed: int = 7,
+    query_assign: str = "pandas",
 ) -> DataFrame:
     """IVF approximate top-k: trained coarse quantizer, inverted lists.
 
@@ -177,6 +199,10 @@ def ivf_topk(
     pandas path (the query side is tiny); exact cosine inside the
     probed lists, top-k per query.
 
+    ``query_assign``: "pandas" (default — Arrow matmul, right for big
+    probe batches) or "jvm" (centroid-literal fold dots; bit-exactly
+    replayable by the SQL oracle, right for small probe sets).
+
     vs LSH: data-adapted partitions (clustered corpora get balanced
     lists where hyperplanes split clusters), one training pass, recall
     tuned by nprobe with cost ∝ nprobe/n_centroids of brute force.
@@ -187,27 +213,37 @@ def ivf_topk(
     if n_corpus == 0:
         raise ValueError("ivf_topk: empty corpus")
     frac = min(1.0, (2.0 * sample_size) / n_corpus)
-    rows = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:  # pathological tiny-fraction draw — fall back to head
+    if frac >= 1.0:
+        # whole corpus fits the training budget: a fraction-1.0 sample
+        # would return every row anyway — skip it so the training set
+        # (and thus the centroids) is a pure function of file order,
+        # which the DuckDB-oracle generator replays via pyarrow
         rows = corpus.select(vec_col).limit(sample_size).collect()
+    else:
+        rows = (
+            corpus.select(vec_col)
+            .sample(withReplacement=False, fraction=frac, seed=seed)
+            .limit(sample_size)
+            .collect()
+        )
+        if not rows:  # pathological tiny-fraction draw — fall back to head
+            rows = corpus.select(vec_col).limit(sample_size).collect()
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     n_centroids = max(1, min(n_centroids, len(sample)))
     cents = _kmeans_centroids(sample, n_centroids, seed)
-    q_assign = _assign_udf(cents, nprobe)
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
         ivf_assign_jvm(F.col(vec_col), cents).alias("_list"),
     )
+    if query_assign == "jvm":
+        q_lists = ivf_query_assign_jvm(F.col(vec_col), cents, nprobe)
+    else:
+        q_lists = _assign_udf(cents, nprobe)(F.col(vec_col))
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),
-        F.explode(q_assign(F.col(vec_col))).alias("_list"),
+        F.explode(q_lists).alias("_list"),
     )
     scored = c.join(F.broadcast(q), "_list").select(
         query_id, corpus_id, cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")

@@ -166,10 +166,21 @@ def _make_asof_fn():
         # facts are gone) → emit late=true + NULL fill; a late FACT row
         # cannot retract already-emitted spines → count it, keep it out
         # of the state update below (it never becomes "latest" anyway,
-        # but it must not poison the in-batch cumsum either)
-        late = (
-            us < st_us if st_us is not None else np.zeros(len(us), dtype=bool)
-        )
+        # but it must not poison the in-batch cumsum either).
+        # EQUAL-ts facts mirror the batch (ts, side, seq) tie-break: a
+        # fact at exactly the carried watermark is accepted only when
+        # its seq EXCEEDS the stored fact's seq — otherwise the batch
+        # ordering would have placed it before the stored fact, so
+        # applying it would regress, and it is counted late instead.
+        if st_us is not None:
+            seq_arr = pdf["seq"].to_numpy()
+            late = (us < st_us) | (
+                (us == st_us)
+                & is_fact
+                & (seq_arr <= (st_seq if st_seq is not None else -1))
+            )
+        else:
+            late = np.zeros(len(us), dtype=bool)
         if late.any():
             n_late += int(late.sum())
             l_spine = late & ~is_fact
@@ -248,7 +259,10 @@ def streaming_asof(unioned: DataFrame) -> DataFrame:
     Emits one row per spine row with the latest-preceding fact value
     and timestamp. Batch-parity is pinned in tests/test_streaming.py.
     Cross-batch regressions surface with ``late = true`` (NULL fill for
-    spine rows; late facts are counted in state, never applied).
+    spine rows; late facts are counted in state, never applied). A fact
+    arriving at EXACTLY the carried watermark ts is applied only when
+    its seq exceeds the stored fact's seq — the same (ts, side, seq)
+    tie-break the batch operator sorts by — else counted late.
     Caveat (floats-only surface): a fact whose value is NULL surfaces
     as NaN here (Arrow float64 batch), where the batch operator yields
     NULL — use the batch path when that distinction matters.
