@@ -825,31 +825,64 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED hyperplane LSH at its
-    DESIGNED operating point (threshold 0.95, 16 bits / 4 bands).
+    DESIGNED operating point (threshold 0.95, 16 bits / 4 bands),
+    ORACLE-exact end-to-end.
 
     The raw testdata embeddings contain no true near-dups (max pairwise
     cos ≈ 0.51), so every 10th (unit-norm) vector gets a DETERMINISTIC
-    perturbed twin (JVM transform: additive sin-noise, amplitude .015
-    per component → cos(v, twin) ≈ .996) — exercising the operator
-    where the banding math holds: per-bit match p ≈ 1-acos(.996)/π ≈
-    .97, candidate recall 1-(1-p^4)^4 ≈ .9999.
-    Measured on this corpus: recall 1.0 of the planted twins, zero
-    sub-threshold pairs (exact-cosine verify) — asserted per-run by
-    tests/test_entry_near_dup.py. Rows-only for the driver: the planted
-    pair COUNT is deterministic, but a hard hash gate on an ~.999
-    -recall operator would flake by design.
+    perturbed twin — additive md5-derived uniform noise in ±0.015 per
+    component (cos(v, twin) ≈ .998): hex→int→double arithmetic, so
+    both engines build the bit-identical planted corpus (the earlier
+    sin() noise was NOT portable — libm vs Math.sin may differ in the
+    last ulp). Banding math at this point: per-bit match p ≈
+    1-acos(.998)/π ≈ .98, candidate recall 1-(1-p^4)^4 ≈ .9999;
+    measured recall 1.0, asserted per-run by
+    tests/test_entry_near_dup.py. The operator's OUTPUT is a
+    deterministic function of its input (recall < 1 only means some
+    true pairs are skipped, deterministically), so the DuckDB oracle
+    replays the exact pipeline: literal hyperplanes → sign-bit
+    signature → 4-bit band buckets → oversized-bucket cap → bucket
+    self-join → exact-cosine verify.
     """
     from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    twins = emb.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: (
-                x.cast("double") + 0.015 * F.sin(F.col("vec_id") * 131 + i * 17)
-            ).cast("float"),
-        ).alias("embedding"),
+    u60 = F.lit(float(1 << 60))
+    # two-step select: the noise is keyed by the TWIN's id — aliasing
+    # and the lambda in one select would leave `vec_id` ambiguous under
+    # lateral alias resolution
+    twins = (
+        emb.where(F.col("vec_id") % 10 == 0)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("vec_id").cast("string"),
+                                        F.lit(":"),
+                                        i.cast("string"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long").cast("double")
+                        / u60
+                        - F.lit(0.5)
+                    )
+                    * F.lit(0.03)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
     )
     planted = emb.select("vec_id", "embedding").unionByName(twins)
     pairs = embedding_near_dup_pairs(planted, threshold=0.95, nbits=16, bands=4, dim=64)
@@ -1029,6 +1062,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_sum"
         ),
     )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal header validation, oracle-checked as an INVARIANT:
+    width/height (PNG IHDR, big-endian at fixed offsets) and
+    sample_rate/channels/bits (WAV fmt chunk, little-endian) are
+    decoded from the raw payload BYTES with pure JVM expressions
+    (functions/binary_meta.py — no Python, no kernels) and compared to
+    the recorded meta struct. The oracle states the expected outcome
+    (every image/audio row's header matches its meta; video rows have
+    no parseable header → NULL): any decode/layout bug flips hdr_ok
+    and fails the value hash. The payload bytes themselves are
+    generated in-engine, so a literal byte-level DuckDB replay is not
+    possible — this invariant form is the strongest oracle available
+    for generated binary columns."""
+    from turboxsl_spark.functions.binary_meta import png_meta, wav_meta
+    from turboxsl_spark.operators.multimodal import gen_media
+
+    media = gen_media(spark, n=48, seed=7)
+    pm = png_meta(F.col("payload"))
+    wm = wav_meta(F.col("payload"))
+    hdr_ok = (
+        F.when(
+            F.col("kind") == "image",
+            (pm["width"] == F.col("meta.width"))
+            & (pm["height"] == F.col("meta.height"))
+            & (pm["bit_depth"] == 8),
+        )
+        .when(
+            F.col("kind") == "audio",
+            (wm["sample_rate"] == F.col("meta.sample_rate"))
+            & (wm["channels"] == 1)
+            & (wm["bits_per_sample"] == 16),
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return media.select("media_id", "kind", hdr_ok.alias("hdr_ok"))
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_salted": q_sessionize_salted,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_meta": q_multimodal_meta,
         "corpus_pipeline": q_corpus_pipeline,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
@@ -1258,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
     d["asof_salted"] = d["asof_join"]
     d["asof_salted_fwd"] = d["asof_forward"]
     d["ann_lsh_topk"] = _ann_lsh_oracle()
+    d["embedding_near_dup"] = _embedding_near_dup_oracle()
     try:
         # reads the sf-0.01 corpus to re-train the quantizer; if that
         # environment assumption ever breaks, degrade this one query to
@@ -1509,6 +1581,70 @@ def _ann_ivf_oracle(
             FROM scored)
         SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _embedding_near_dup_oracle(
+    nbits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int = _EMB_DIM,
+    threshold: float = 0.95,
+    max_bucket: int = 100_000,
+) -> str:
+    """Full replay of q_embedding_near_dup: md5-noise planted twins →
+    literal hyperplanes → sign-bit signature → band buckets →
+    oversized-bucket cap → bucket self-join → exact-cosine verify."""
+    from turboxsl_spark.operators.similarity import _hyperplanes
+
+    r = nbits // bands
+    planes = _hyperplanes(nbits, dim, seed)
+    vals = ",\n                ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    dq = _sql_dot("e.embedding", "p.pl", dim, cast_b=False)
+    cos = _sql_cosine("c.ea", "c.eb", dim)
+    noise = (
+        "(CAST(('0x' || substr(md5(CAST(vec_id + 1000000 AS VARCHAR) || ':' || "
+        "CAST(j - 1 AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT"
+        f" / {float(1 << 60)!r} - 0.5) * 0.03"
+    )
+    return f"""
+        WITH planes(i, pl) AS (VALUES
+                {vals}),
+        base AS (SELECT vec_id, embedding FROM embeddings),
+        twins AS (
+            SELECT vec_id + 1000000 AS vec_id, emb2 AS embedding FROM (
+                SELECT vec_id,
+                       list_transform(range(1, {dim + 1}), j ->
+                           CAST(CAST(embedding[j] AS DOUBLE) + {noise} AS FLOAT)
+                       ) AS emb2
+                FROM base WHERE vec_id % 10 = 0) t),
+        planted AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        sigs AS (
+            SELECT e.vec_id, e.embedding,
+                   SUM(CASE WHEN {dq} > 0
+                            THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS sig
+            FROM planted e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding),
+        bnd AS (
+            SELECT vec_id, embedding, b.band,
+                   (sig >> (b.band * {r})) & {(1 << r) - 1} AS bkt
+            FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b),
+        ok AS (SELECT band, bkt FROM bnd GROUP BY band, bkt
+               HAVING COUNT(*) <= {max_bucket}),
+        bnd2 AS (SELECT bnd.* FROM bnd JOIN ok USING (band, bkt)),
+        c AS (
+            SELECT a.vec_id AS id_a, a.embedding AS ea,
+                   b2.vec_id AS id_b, b2.embedding AS eb
+            FROM bnd2 a JOIN bnd2 b2
+              ON a.band = b2.band AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+            GROUP BY 1, 2, 3, 4),
+        scored AS (SELECT id_a, id_b, {cos} AS cos_sim FROM c)
+        SELECT id_a, id_b, ROUND(cos_sim, 6) AS cos_sim
+        FROM scored WHERE cos_sim >= {threshold}
+        ORDER BY id_a, id_b
     """
 
 
@@ -1792,6 +1928,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                    printf('%,d', cents // 100) || '.' ||
                    printf('%02d', cents % 100) AS price_fmt
             FROM c
+        """,
+        "multimodal_meta": """
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CASE media_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                   CASE WHEN media_id % 3 < 2 THEN true ELSE NULL END AS hdr_ok
+            FROM range(0, 48) t(media_id)
         """,
         "corpus_pipeline": """
             WITH n AS (

@@ -5,11 +5,13 @@ Default run (what the driver's per-round bench does):
      ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
      ``local[$SPARK_GRAFT_CPUS]``.
   2. Times the flagship PIT feature build over a deterministic synthetic
-     transcript table (~600k turns at sf0.1 scale) at TWO parallelism
-     levels — local[8] and local[32] (subprocess each, fresh JVM, timing
-     excludes session startup) — and reports throughput at both plus
-     scaling efficiency = (thr_32 / thr_8) / 4, the sandbox stand-in for
-     the north rule's N vs 4N executor criterion.
+     transcript table at TWO parallelism levels (fresh JVM per
+     measurement, timing excludes session startup): the primary
+     bandwidth-honest local[2]→local[8] pair plus an insurance
+     local[8]→local[32] pair, as 7+ alternating-order interleaved pairs
+     with the median per-pair ratio reported as the north rule's N vs
+     4N efficiency; every pair is appended to BENCH_HISTORY.jsonl so
+     the artifact carries the cross-session distribution.
   3. Prints ONE JSON line and rewrites BENCH.md.
 
 Child mode: ``python bench.py --flagship-only --cores N --data PATH``

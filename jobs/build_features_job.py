@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--iceberg-table",
+        action="store_true",
+        help="treat --input as an Iceberg table name resolved through the "
+        "session's spark.sql.catalog.* conf (snapshot-id time travel via "
+        "--snapshot-id); requires the iceberg-spark-runtime jar",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--session-timeout", type=int, default=1800)
     ap.add_argument("--buckets", type=int, default=256)
@@ -36,12 +43,17 @@ def main() -> None:
 
     from turboxsl_spark.plans.featurespec import FeatureSpec, build_features
     from turboxsl_spark.plans.manifest import write_with_manifest
-    from turboxsl_spark.sources.snapshots import SnapshotStore
+    from turboxsl_spark.sources.snapshots import IcebergSnapshotStore, SnapshotStore
 
     spark = SparkSession.builder.appName("turboxsl-feature-build").getOrCreate()
 
     snapshot = None
-    if os.path.exists(os.path.join(args.input, "_snapshots.json")):
+    if args.iceberg_table:
+        store = IcebergSnapshotStore(spark, args.input)
+        sid = args.snapshot_id or store.latest_id()
+        df = store.read(spark, snapshot_id=sid)
+        snapshot = f"iceberg:{sid}"
+    elif os.path.exists(os.path.join(args.input, "_snapshots.json")):
         store = SnapshotStore(args.input)
         sid = args.snapshot_id or store.latest_id()
         df = store.read(spark, snapshot_id=sid)

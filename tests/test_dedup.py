@@ -353,3 +353,39 @@ def test_simhash_md5_matches_python_bitvote(spark, docs):
     assert all(v >> 60 == 0 for v in got.values())
     # ws-normalized dup has the identical signature
     assert got[1] == got[3]
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_bench=False (the eval-set-too-big-to-broadcast
+    fallback) must produce identical contamination flags through the
+    shuffled equi-join path."""
+    from turboxsl_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no overlap whatsoever here"),
+            (3, "the quick brown fox jumps over the lazy dog " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    kw = dict(n=8, min_hits=1)
+    a = (
+        decontaminate(docs, bench, broadcast_bench=True, **kw)
+        .select("doc_id", "contam_hits", "contaminated")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate(docs, bench, broadcast_bench=False, **kw)
+        .select("doc_id", "contam_hits", "contaminated")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["contaminated"].tolist() == [True, False, True]

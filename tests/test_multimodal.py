@@ -155,3 +155,55 @@ def test_frame_sample_plan(spark, media):
     assert (fs["frame_idx"] % 30 == 0).all()
     n_videos = media.where("kind = 'video'").count()
     assert fs["media_id"].nunique() == n_videos
+
+
+def test_binary_meta_jvm_header_parse(spark, media):
+    """functions/binary_meta.py parses PNG IHDR / WAV fmt headers with
+    pure JVM expressions; decoded values must equal the recorded meta
+    struct for every generated payload, and garbage bytes → NULL."""
+    from pyspark.sql import functions as F
+
+    from turboxsl_spark.functions.binary_meta import png_meta, wav_meta
+
+    rows = media.select(
+        "media_id",
+        "kind",
+        "meta",
+        png_meta(F.col("payload")).alias("pm"),
+        wav_meta(F.col("payload")).alias("wm"),
+    ).collect()
+    n_img = n_aud = 0
+    for r in rows:
+        if r["kind"] == "image":
+            n_img += 1
+            assert r["pm"] is not None and r["wm"] is None
+            assert r["pm"]["width"] == r["meta"]["width"]
+            assert r["pm"]["height"] == r["meta"]["height"]
+            assert r["pm"]["bit_depth"] == 8
+            assert r["pm"]["channels"] in (1, 2, 3, 4)
+        elif r["kind"] == "audio":
+            n_aud += 1
+            assert r["wm"] is not None and r["pm"] is None
+            assert r["wm"]["sample_rate"] == r["meta"]["sample_rate"]
+            assert r["wm"]["channels"] == 1
+            assert r["wm"]["bits_per_sample"] == 16
+        else:  # video stand-in bytes: neither header parses
+            assert r["pm"] is None and r["wm"] is None
+    assert n_img > 0 and n_aud > 0
+    # plan stays Python-free: header math is Catalyst expressions only
+    explained = media.select(
+        png_meta(F.col("payload")).alias("m")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in explained and "BatchEvalPython" not in explained
+
+
+def test_multimodal_meta_query_invariant(spark):
+    import __spark_entry__ as m
+
+    out = m.q_multimodal_meta(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 48
+    for r in out:
+        if r["kind"] == "video":
+            assert r["hdr_ok"] is None
+        else:
+            assert r["hdr_ok"] is True

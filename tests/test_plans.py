@@ -206,3 +206,36 @@ def test_exact_dedup_partial_aggregation(spark):
     plan = plan_of(m.q_exact_dedup(spark, SF_DIR))
     assert len(re.findall(r"HashAggregate", plan)) >= 2
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_pack_greedy_single_exchange(spark):
+    """pack_greedy = ONE shuffle (the shard groupBy feeding
+    applyInPandas); a second exchange would mean the sequential packer
+    re-partitions its input and breaks the shard-locality contract."""
+    from turboxsl_spark.operators.packing import pack_greedy
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", (i % 7) + 1, i % 4) for i in range(100)],
+        "doc_id long, key string, n_tok long, shard int",
+    )
+    out = pack_greedy(docs, "key", "n_tok", window=16, shard_col="shard")
+    plan = plan_of(out)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:4000]
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_embedding_near_dup_cap_has_no_window(spark):
+    """The oversized-bucket cap must be the groupBy + broadcast
+    anti-join form — a count() window over the 4x-exploded vector table
+    (the round-3 shape) is a full shuffle+sort of the fat side."""
+    import numpy as np
+
+    from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df, threshold=0.9, nbits=8, bands=4, dim=16)
+    plan = plan_of(out)
+    assert "Window" not in plan, plan[:4000]
+    assert "BroadcastExchange" in plan  # the oversized-key anti-join

@@ -99,3 +99,37 @@ def test_iceberg_catalog_detector_matches_conf_shape():
         is None
     )
     assert iceberg_catalog(FakeSpark([("spark.sql.catalog.x", "com.other.Cat")])) is None
+
+
+def test_iceberg_end_to_end_when_jars_present(spark, tmp_path):
+    """REAL-Iceberg integration: auto-skips where the
+    iceberg-spark-runtime jar is absent (this sandbox), and runs
+    UNCHANGED on any cluster that has it — registers a hadoop catalog
+    at runtime, commits twice through IcebergSnapshotStore (bucketed
+    create + append), then checks snapshot listing and snapshot-id
+    time travel."""
+    import pytest
+
+    from turboxsl_spark.sources.snapshots import IcebergSnapshotStore
+
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip("iceberg-spark-runtime jars not on the classpath")
+
+    spark.conf.set("spark.sql.catalog.it_lake", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_lake.warehouse", str(tmp_path / "wh"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS it_lake.db")
+    store = IcebergSnapshotStore(
+        spark, "db.transcripts", bucket_col="conv_id", buckets=4, catalog="it_lake"
+    )
+    schema = "conv_id string, turn_idx int, text string"
+    s1 = store.commit(spark.createDataFrame([("c1", 1, "hi")], schema))
+    s2 = store.commit(spark.createDataFrame([("c2", 1, "yo")], schema))
+    assert s1 != s2
+    assert store.read(spark).count() == 2
+    assert store.read(spark, snapshot_id=s1).count() == 1
+    snaps = store.snapshots()
+    assert len(snaps) == 2
+    assert snaps[0]["parent"] is None and snaps[1]["parent"] == snaps[0]["id"]

@@ -1,0 +1,94 @@
+"""JVM-side binary-container header parsing for multimodal columns.
+
+The multimodal operators (``operators/multimodal.py``) treat media as
+opaque ``binary`` payloads + a typed ``meta`` struct. These functions
+read the meta FROM THE BYTES with pure Catalyst expressions — binary
+``substring`` slices + ``conv(hex(...))`` integer decodes — so header
+validation/extraction over billions of rows is map-only, codegen'd,
+and never crosses into Python (the decode KERNELS stay in
+``operators/codecs.py``; this is just the fixed-offset header math).
+
+Layouts (public specs):
+  PNG  — 8-byte signature, then the IHDR chunk at a FIXED offset:
+         length(4) 'IHDR'(4) width(4 BE) height(4 BE) bit_depth(1)
+         color_type(1) — www.w3.org/TR/png-3 §11.2.1
+  WAV  — RIFF(4) size(4) 'WAVE'(4) 'fmt '(4) size(4) format(2 LE)
+         channels(2 LE @23) sample_rate(4 LE @25) ... bits(2 LE @35)
+         (canonical 44-byte PCM header)
+
+All positions below are 1-based (Spark substring convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_IHDR_HEX = "49484452"  # "IHDR"
+
+
+def _u8(p: Column, pos: int) -> Column:
+    return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("int")
+
+
+def _be_u32(p: Column, pos: int) -> Column:
+    """Big-endian u32 — hex of the 4-byte slice IS the big-endian
+    number, so one conv does it."""
+    return F.conv(F.hex(F.substring(p, pos, 4)), 16, 10).cast("long").cast("int")
+
+
+def _le_uint(p: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int: per-byte decode × 256^i sum."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        out = out + _u8(p, pos + i).cast("long") * F.lit(256**i)
+    return out.cast("int")
+
+
+def is_png(p: Column | str) -> Column:
+    p = F.col(p) if isinstance(p, str) else p
+    return (F.hex(F.substring(p, 1, 8)) == _PNG_SIG_HEX) & (
+        F.hex(F.substring(p, 13, 4)) == _IHDR_HEX
+    )
+
+
+def png_meta(p: Column | str) -> Column:
+    """(width, height, bit_depth, color_type, channels) struct decoded
+    from PNG IHDR bytes; NULL for non-PNG payloads."""
+    p = F.col(p) if isinstance(p, str) else p
+    color_type = _u8(p, 26)
+    channels = (
+        F.when(color_type == 0, 1)   # greyscale
+        .when(color_type == 2, 3)    # truecolor
+        .when(color_type == 3, 1)    # palette (1 index byte)
+        .when(color_type == 4, 2)    # grey + alpha
+        .when(color_type == 6, 4)    # RGBA
+    )
+    meta = F.struct(
+        _be_u32(p, 17).alias("width"),
+        _be_u32(p, 21).alias("height"),
+        _u8(p, 25).alias("bit_depth"),
+        color_type.alias("color_type"),
+        channels.alias("channels"),
+    )
+    return F.when(is_png(p), meta)
+
+
+def is_wav(p: Column | str) -> Column:
+    p = F.col(p) if isinstance(p, str) else p
+    return (F.hex(F.substring(p, 1, 4)) == "52494646") & (  # "RIFF"
+        F.hex(F.substring(p, 9, 8)) == "57415645666D7420"   # "WAVEfmt "
+    )
+
+
+def wav_meta(p: Column | str) -> Column:
+    """(sample_rate, channels, bits_per_sample) struct from the
+    canonical PCM WAV header; NULL for non-WAV payloads."""
+    p = F.col(p) if isinstance(p, str) else p
+    meta = F.struct(
+        _le_uint(p, 25, 4).alias("sample_rate"),
+        _le_uint(p, 23, 2).alias("channels"),
+        _le_uint(p, 35, 2).alias("bits_per_sample"),
+    )
+    return F.when(is_wav(p), meta)
