@@ -237,9 +237,13 @@ def append_history(entry: dict) -> None:
         f.write(json.dumps(entry) + "\n")
 
 
-def history_summary(cores_n: int, cores_4n: int, last: int = 12) -> dict | None:
+def history_summary(
+    cores_n: int, cores_4n: int, mult: int | None = SCALING_MULT, last: int = 12
+) -> dict | None:
     """Cross-session view: per-run medians of all recorded runs at this
-    (N, 4N) configuration, and their median-of-medians."""
+    (N, 4N, work-size) configuration, and their median-of-medians.
+    Runs at a different ``mult`` measure a different fixed-cost ratio
+    and are excluded (pass ``mult=None`` to aggregate across all)."""
     if not os.path.exists(HISTORY_PATH):
         return None
     runs = []
@@ -250,6 +254,8 @@ def history_summary(cores_n: int, cores_4n: int, last: int = 12) -> dict | None:
             except json.JSONDecodeError:
                 continue
             if e.get("cores_n") == cores_n and e.get("cores_4n") == cores_4n:
+                if mult is not None and e.get("mult", SCALING_MULT) != mult:
+                    continue
                 runs.append(e)
     if not runs:
         return None
@@ -306,7 +312,7 @@ def main() -> None:
         data_path = ensure_bench_transcripts(sf_name)
         s = measure_scaling(data_path, rounds=args.rounds, mult=args.scaling_mult)
         append_history(s)
-        s["history"] = history_summary(s["cores_n"], s["cores_4n"])
+        s["history"] = history_summary(s["cores_n"], s["cores_4n"], s["mult"])
         print(json.dumps(s))
         return
 
@@ -326,7 +332,7 @@ def main() -> None:
         scaling = measure_scaling(data_path, rounds=args.rounds)
         append_history(scaling)
         scaling["history"] = history_summary(
-            scaling["cores_n"], scaling["cores_4n"]
+            scaling["cores_n"], scaling["cores_4n"], scaling["mult"]
         )
         time.sleep(20)  # cool-down between pair sets
         scaling_8_32 = measure_scaling(

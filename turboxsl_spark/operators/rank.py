@@ -49,9 +49,15 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def cleanup_scratch(path: str) -> None:
-    """Remove a local scratch directory produced by ``global_rank``
-    (call after the ranked output has been materialized/written)."""
-    shutil.rmtree(path, ignore_errors=True)
+    """Remove a LOCAL scratch directory produced by ``global_rank``
+    (call after the ranked output has been materialized/written).
+    Remote scratch (s3://, hdfs:// — the ``spark.turboxsl.scratchDir``
+    cluster path) is left to the storage layer's lifecycle/TTL rules:
+    a driver-side recursive delete of object storage belongs to the
+    platform's retention policy, not a library call."""
+    if "://" in path and not path.startswith("file://"):
+        return
+    shutil.rmtree(path.removeprefix("file://"), ignore_errors=True)
 
 
 SCRATCH_CONF = "spark.turboxsl.scratchDir"
