@@ -525,8 +525,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets, exact cosine
-    within bucket (rows-only; recall vs brute force is pinned in
-    tests/test_similarity.py)."""
+    within bucket — ORACLE-exact: the seeded hyperplanes are plan-time
+    literals, so the oracle replays bucketing, Hamming-1 multiprobe,
+    and the in-bucket cosine top-k bit-for-bit (_ann_lsh_oracle).
+    Recall vs brute force is pinned in tests/test_similarity.py."""
     from turboxsl_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1345,7 +1347,11 @@ def oracle_sql() -> dict[str, str]:
 # md5-hex-derived, so DuckDB replays signatures/buckets/votes exactly;
 # the SQL below is generated — 64 MIN slots / 60 vote SUMs are loops)
 
-_FP_SENTINEL = (1 << 63) - 1
+def _sig_sentinel() -> int:
+    # single source of truth: the same constant the Spark operators use
+    from turboxsl_spark.operators.dedup import _SIG_SENTINEL
+
+    return _SIG_SENTINEL
 
 
 def _simhash_oracle() -> str:
@@ -1393,7 +1399,7 @@ def _minhash_dedup_oracle(
         f"MIN((h1 + {j}*h2 + {j * j}) % {P48}) AS m{j}" for j in range(num_hashes)
     )
     sig = "[" + ", ".join(
-        f"COALESCE(m{j}, {_FP_SENTINEL})" for j in range(num_hashes)
+        f"COALESCE(m{j}, {_sig_sentinel()})" for j in range(num_hashes)
     ) + "]"
     return f"""
         WITH RECURSIVE n AS (
@@ -1543,7 +1549,16 @@ def _ann_ivf_oracle(
     from turboxsl_spark.operators.similarity import _kmeans_centroids
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    emb = np.array(tbl.column("embedding").to_pylist()[:sample_size], dtype=np.float64)
+    all_rows = tbl.column("embedding").to_pylist()
+    if len(all_rows) > 2 * sample_size:
+        # ivf_topk would take the seeded-sample training path, which
+        # this file-order replay cannot reproduce — degrade to
+        # rows-only (caller catches) rather than emit a WRONG oracle
+        raise RuntimeError(
+            f"corpus has {len(all_rows)} rows > {2 * sample_size}: "
+            "seeded-sample training is not file-order-replayable"
+        )
+    emb = np.array(all_rows[:sample_size], dtype=np.float64)
     cents = _kmeans_centroids(emb, max(1, min(n_centroids, len(emb))), seed)
     vals = ",\n                ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in c)}])"

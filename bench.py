@@ -157,7 +157,7 @@ def measure_scaling(
     cores_4n: int = SCALING_4N,
     mult: int = SCALING_MULT,
     max_extra_pairs: int = 4,
-    spread_gate: float = 0.3,
+    spread_gate: float = 0.25,
 ) -> dict:
     """Paired N / 4N measurement.
 
@@ -174,10 +174,11 @@ def measure_scaling(
       committed artifact was the median of only 5 pairs spanning
       0.194-0.959 — one collapsed pair dragged the median to 0.487.
     * In-run RETRY: if the pair spread exceeds ``spread_gate`` (an
-      outlier epoch is detectable in-run), up to ``max_extra_pairs``
-      additional pairs are appended after a cool-down. EVERY pair is
-      kept and reported — the retry enlarges the sample, it never
-      discards measurements.
+      outlier epoch is detectable in-run; r04's committed run read
+      spread 0.289 from two slow-epoch pairs), up to
+      ``max_extra_pairs`` additional pairs are appended after a
+      cool-down. EVERY pair is kept and reported — the retry enlarges
+      the sample, it never discards measurements.
 
     Every pair is also persisted (with a timestamp) to
     BENCH_HISTORY.jsonl by the caller, so the committed artifact shows
@@ -201,11 +202,19 @@ def measure_scaling(
             time.sleep(8)  # let the box recover between pairs
         one_pair(flip=bool(i % 2))
     effs = [p[2] for p in pairs]
+
+    def trailing_spread() -> float:
+        # spread over the most recent `rounds` pairs: a global spread
+        # can never shrink (pairs are never discarded), so gating on it
+        # would always exhaust max_extra_pairs once tripped; the
+        # trailing window lets an early outlier age out and the retry
+        # stop as soon as the host has settled
+        w = effs[-rounds:]
+        return max(w) - min(w)
+
     extra = 0
     while (
-        len(effs) > 1
-        and (max(effs) - min(effs)) > spread_gate
-        and extra < max_extra_pairs
+        len(effs) > 1 and trailing_spread() > spread_gate and extra < max_extra_pairs
     ):
         time.sleep(15)
         one_pair(flip=bool((rounds + extra) % 2))
@@ -329,7 +338,9 @@ def main() -> None:
     # quality, so ratios get the good host state.
     scaling = scaling_8_32 = None
     if not args.skip_scaling:
-        scaling = measure_scaling(data_path, rounds=args.rounds)
+        scaling = measure_scaling(
+            data_path, rounds=args.rounds, mult=args.scaling_mult
+        )
         append_history(scaling)
         scaling["history"] = history_summary(
             scaling["cores_n"], scaling["cores_4n"], scaling["mult"]
@@ -458,7 +469,8 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             lines += [
                 "",
                 "Insurance pair at the directive's literal sizes (8→32;",
-                "bandwidth-capped near 0.65 on this box — see below):",
+                "bandwidth-capped on this one-box sandbox — measured",
+                "0.42-0.65 across sessions depending on load, see below):",
                 f"local[8] {s2['turns_per_sec_n']} → local[32] "
                 f"{s2['turns_per_sec_4n']} turns/s, efficiency "
                 f"{s2['efficiency']} (pairs {s2['pair_efficiencies']};"
@@ -480,7 +492,8 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             "8→~660-690k, 16→~1.0-1.1M turns/s. Beyond ~8 busy cores the",
             "string-heavy stages are memory-bandwidth-bound (per-task CPU",
             "time inflates 1.5-1.9× at 16 threads with identical plans), so",
-            "any single-box 4→16/8→32 ratio is capped near 0.65 by hardware,",
+            "any single-box 4→16/8→32 ratio is hardware-capped well below 1",
+            "(measured 0.42-0.65 across sessions, load-dependent),",
             "not by the engine. The 2→8 pair keeps per-core bandwidth",
             "constant at both sizes — the faithful single-box analogue of",
             "N→4N executors, where each executor brings its own memory",

@@ -389,3 +389,23 @@ def test_decontaminate_shuffle_fallback_matches_broadcast(spark):
     )
     assert a.equals(b)
     assert a["contaminated"].tolist() == [True, False, True]
+
+
+def test_ngram_jaccard_null_text_is_empty_set(spark):
+    """NULL-text docs must behave like empty docs in the verify stage
+    (jaccard 1.0 vs another contentless doc, 0 vs a real doc) — not
+    silently drop out through NULL set arithmetic. Matches the DuckDB
+    oracle's list_concat NULL-skipping semantics."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "real content here with words")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    for hasher in ("xxh64", "md5"):
+        j = (
+            ngram_jaccard(pairs, docs, hasher=hasher)
+            .toPandas()
+            .set_index(["id_a", "id_b"])["jaccard"]
+        )
+        assert j[(1, 2)] == 1.0, hasher
+        assert j[(1, 3)] == 0.0, hasher

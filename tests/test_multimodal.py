@@ -207,3 +207,20 @@ def test_multimodal_meta_query_invariant(spark):
             assert r["hdr_ok"] is None
         else:
             assert r["hdr_ok"] is True
+
+
+def test_binary_meta_overflow_guard(spark):
+    """A payload that passes the magic check but carries a bit-31
+    width must yield NULL (mismatch), never an ANSI cast exception —
+    header validation of untrusted bytes cannot abort the stage."""
+    from pyspark.sql import functions as F
+
+    from turboxsl_spark.functions.binary_meta import png_meta
+
+    sig = bytes.fromhex("89504E470D0A1A0A")
+    evil = sig + (13).to_bytes(4, "big") + b"IHDR" + (0x80000000).to_bytes(4, "big") + (16).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    df = spark.createDataFrame([(1, bytearray(evil))], "id long, payload binary")
+    row = df.select(png_meta(F.col("payload")).alias("m")).collect()[0]
+    assert row["m"] is not None          # magic matched
+    assert row["m"]["width"] is None     # guarded, not thrown
+    assert row["m"]["height"] == 16

@@ -449,3 +449,47 @@ def test_tumbling_rollup_streaming_matches_batch(spark, tmp_path):
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["sum_value"].tolist() == want["sum_value"].tolist()
     assert got["bucket_start"].tolist() == want["bucket_start"].tolist()
+
+
+def test_streaming_asof_equal_ts_spine_strict_vs_inclusive(spark, tmp_path):
+    """A later-batch SPINE at exactly the carried watermark ts follows
+    batch order against the stored fact's carried side: under the
+    strict encoding (spine side 0 < fact side 1) it sorts BEFORE the
+    fact, so it must get late=true + NULL (its batch answer is the
+    PREVIOUS fact, gone from latest-only state); under the inclusive
+    encoding (fact side 0 < spine side 1) it is served the carry."""
+    from turboxsl_spark.streaming.stateful import run_streaming_asof_from_dir
+
+    base = pd.Timestamp("2025-06-01")
+    cols = ["conv_id", "ts", "side", "seq", "fact_value", "spine_id"]
+    sec = lambda s: base + pd.Timedelta(seconds=s)
+
+    def run(name, fact_side, spine_side):
+        b1 = pd.DataFrame([("c0", sec(100), fact_side, 0, 1.0, None)], columns=cols)
+        b2 = pd.DataFrame(
+            [("c0", sec(100), spine_side, 0, None, 0)], columns=cols
+        )
+        src = str(tmp_path / name)
+        os.makedirs(src)
+        for i, b in enumerate((b1, b2)):
+            b = b.copy()
+            b["ts"] = b["ts"].astype("datetime64[us]")
+            b["side"] = b["side"].astype("int32")
+            b["seq"] = b["seq"].astype("int64")
+            b["spine_id"] = b["spine_id"].astype("Int64")
+            b.to_parquet(f"{src}/part-{i:02d}.parquet", index=False)
+        return (
+            run_streaming_asof_from_dir(spark, src, query_name=f"t_{name}")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    strict = run("eqts_strict", fact_side=1, spine_side=0)
+    assert len(strict) == 1
+    assert bool(strict.loc[0, "late"]) is True
+    assert pd.isna(strict.loc[0, "fact_value_asof"])
+
+    incl = run("eqts_incl", fact_side=0, spine_side=1)
+    assert len(incl) == 1
+    assert bool(incl.loc[0, "late"]) is False
+    assert incl.loc[0, "fact_value_asof"] == 1.0

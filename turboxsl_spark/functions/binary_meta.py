@@ -32,10 +32,19 @@ def _u8(p: Column, pos: int) -> Column:
     return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("int")
 
 
+def _guard_int(v: Column) -> Column:
+    """long → int with an overflow GUARD, not a cast: under ANSI mode
+    (this engine's session default) a raw cast of a bit-31 value would
+    THROW and kill the job — in a function meant for header
+    *validation* of untrusted binary, out-of-int-range fields must
+    surface as NULL (mismatch), never as a stage abort."""
+    return F.when(v <= F.lit(0x7FFFFFFF), v.cast("int"))
+
+
 def _be_u32(p: Column, pos: int) -> Column:
     """Big-endian u32 — hex of the 4-byte slice IS the big-endian
     number, so one conv does it."""
-    return F.conv(F.hex(F.substring(p, pos, 4)), 16, 10).cast("long").cast("int")
+    return _guard_int(F.conv(F.hex(F.substring(p, pos, 4)), 16, 10).cast("long"))
 
 
 def _le_uint(p: Column, pos: int, nbytes: int) -> Column:
@@ -43,7 +52,7 @@ def _le_uint(p: Column, pos: int, nbytes: int) -> Column:
     out = F.lit(0).cast("long")
     for i in range(nbytes):
         out = out + _u8(p, pos + i).cast("long") * F.lit(256**i)
-    return out.cast("int")
+    return _guard_int(out)
 
 
 def is_png(p: Column | str) -> Column:

@@ -342,13 +342,20 @@ def ngram_jaccard(
         ident = F.transform(
             shingles(F.col("_toks"), shingle_n), lambda s: F.md5(s)
         )
+        empty = F.array().cast("array<string>")
     else:
         ident = shingle_hashes(F.col("_toks"), shingle_n)
+        empty = F.array().cast("array<bigint>")
     sh = docs.select(
         F.col(id_col).alias("_jid"), tokenize(text_col).alias("_toks")
     ).select(
         "_jid",
-        F.array_distinct(ident).alias("_sh"),
+        # NULL text → NULL token array → NULL shingle set, which would
+        # make the Jaccard NULL and silently exempt NULL-text docs from
+        # dedup; coalesce to the EMPTY set instead, so contentless docs
+        # (NULL or empty) compare as jaccard 1.0 — consistent with the
+        # signature stage, where they share the sentinel signature
+        F.coalesce(F.array_distinct(ident), empty).alias("_sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")

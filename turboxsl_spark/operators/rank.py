@@ -48,14 +48,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 
-def cleanup_scratch(path: str) -> None:
-    """Remove a LOCAL scratch directory produced by ``global_rank``
-    (call after the ranked output has been materialized/written).
-    Remote scratch (s3://, hdfs:// — the ``spark.turboxsl.scratchDir``
-    cluster path) is left to the storage layer's lifecycle/TTL rules:
-    a driver-side recursive delete of object storage belongs to the
-    platform's retention policy, not a library call."""
+def cleanup_scratch(path: str, spark=None) -> None:
+    """Remove a scratch directory produced by ``global_rank`` (call
+    after the ranked output has been materialized/written).
+
+    Local paths are removed directly. Remote scratch (s3://, hdfs://
+    — the ``spark.turboxsl.scratchDir`` cluster path) is deleted
+    through the Hadoop FileSystem API when a ``spark`` session is
+    passed; WITHOUT one it is left to the storage layer's
+    lifecycle/TTL rules (there is no portable way to reach remote
+    storage from the driver outside the session)."""
     if "://" in path and not path.startswith("file://"):
+        if spark is None:
+            return
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
         return
     shutil.rmtree(path.removeprefix("file://"), ignore_errors=True)
 
@@ -224,7 +233,7 @@ def exact_quantiles(
         )
     finally:
         if own_scratch:
-            cleanup_scratch(scratch_dir)
+            cleanup_scratch(scratch_dir, spark)
     out_schema = StructType(
         [
             StructField("q", DoubleType()),

@@ -136,17 +136,23 @@ ASOF_OUT_SCHEMA = (
     "conv_id string, spine_id long, ts timestamp, "
     "fact_value_asof double, ts_fact_asof timestamp, late boolean"
 )
-# carried per key: the latest fact seen so far (micros, seq, value)
-# plus the running count of cross-batch late arrivals
-ASOF_STATE_SCHEMA = "fact_us long, fact_seq long, fact_value double, late_count int"
+# carried per key: the latest fact seen so far (micros, side, seq,
+# value) plus the running count of cross-batch late arrivals. The
+# SIDE is carried so cross-batch equal-ts rows replay the batch
+# operator's full (ts, side, seq) total order: a later-batch row at
+# exactly the watermark ts is "before" the stored fact iff its
+# (side, seq) tuple is.
+ASOF_STATE_SCHEMA = (
+    "fact_us long, fact_side int, fact_seq long, fact_value double, late_count int"
+)
 
 
 def _make_asof_fn():
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            st_us, st_seq, st_val, n_late = state.get
+            st_us, st_side, st_seq, st_val, n_late = state.get
         else:
-            st_us, st_seq, st_val, n_late = None, None, None, 0
+            st_us, st_side, st_seq, st_val, n_late = None, None, None, None, 0
         # concatenate ALL Arrow chunks of the key's micro-batch before
         # the sort — a key's rows straddle chunk boundaries at
         # arrow.maxRecordsPerBatch, and per-chunk sorting would apply
@@ -167,18 +173,29 @@ def _make_asof_fn():
         # cannot retract already-emitted spines → count it, keep it out
         # of the state update below (it never becomes "latest" anyway,
         # but it must not poison the in-batch cumsum either).
-        # EQUAL-ts facts mirror the batch (ts, side, seq) tie-break: a
-        # fact at exactly the carried watermark is accepted only when
-        # its seq EXCEEDS the stored fact's seq — otherwise the batch
-        # ordering would have placed it before the stored fact, so
-        # applying it would regress, and it is counted late instead.
+        # EQUAL-ts rows mirror the batch (ts, side, seq) tie-break
+        # against the carried fact:
+        #   * a FACT that would sort at-or-before the stored fact
+        #     ((side, seq) <= (st_side, st_seq)) would regress if
+        #     applied → counted late, never applied;
+        #   * a SPINE that sorts BEFORE the stored fact (side <
+        #     st_side — e.g. strict mode, where spines sort before
+        #     equal-ts facts) must NOT be served the carried fact (the
+        #     batch answer is the PREVIOUS fact, which latest-only
+        #     state no longer has) → late=true + NULL fill, exactly
+        #     like a late spine.
         if st_us is not None:
             seq_arr = pdf["seq"].to_numpy()
-            late = (us < st_us) | (
-                (us == st_us)
-                & is_fact
-                & (seq_arr <= (st_seq if st_seq is not None else -1))
+            side_arr = pdf["side"].to_numpy()
+            c_side = st_side if st_side is not None else -1
+            c_seq = st_seq if st_seq is not None else -1
+            eq = us == st_us
+            fact_regress = eq & is_fact & (
+                (side_arr < c_side)
+                | ((side_arr == c_side) & (seq_arr <= c_seq))
             )
+            spine_regress = eq & ~is_fact & (side_arr < c_side)
+            late = (us < st_us) | fact_regress | spine_regress
         else:
             late = np.zeros(len(us), dtype=bool)
         if late.any():
@@ -234,11 +251,18 @@ def _make_asof_fn():
             if is_fact.any():
                 last_i = np.where(is_fact)[0][-1]
                 st_us = int(us[last_i])
+                st_side = int(pdf["side"].to_numpy()[last_i])
                 st_seq = int(pdf["seq"].to_numpy()[last_i])
                 v = pdf["fact_value"].to_numpy(dtype="float64")[last_i]
                 st_val = None if v != v else float(v)
         if st_us is not None:
-            state.update((st_us, st_seq if st_seq is not None else 0, st_val, n_late))
+            state.update((
+                st_us,
+                st_side if st_side is not None else 0,
+                st_seq if st_seq is not None else 0,
+                st_val,
+                n_late,
+            ))
         yield from outs
 
     return fn
@@ -259,10 +283,13 @@ def streaming_asof(unioned: DataFrame) -> DataFrame:
     Emits one row per spine row with the latest-preceding fact value
     and timestamp. Batch-parity is pinned in tests/test_streaming.py.
     Cross-batch regressions surface with ``late = true`` (NULL fill for
-    spine rows; late facts are counted in state, never applied). A fact
-    arriving at EXACTLY the carried watermark ts is applied only when
-    its seq exceeds the stored fact's seq — the same (ts, side, seq)
-    tie-break the batch operator sorts by — else counted late.
+    spine rows; late facts are counted in state, never applied). Rows
+    arriving at EXACTLY the carried watermark ts follow the batch
+    (ts, side, seq) total order against the stored fact (whose side is
+    carried in state): a fact at-or-before the stored tuple is counted
+    late; a spine that sorts BEFORE the stored fact (strict mode) gets
+    late=true + NULL fill — its batch answer is the PREVIOUS fact,
+    which latest-only state no longer has.
     Caveat (floats-only surface): a fact whose value is NULL surfaces
     as NaN here (Arrow float64 batch), where the batch operator yields
     NULL — use the batch path when that distinction matters.
