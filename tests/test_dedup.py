@@ -409,3 +409,61 @@ def test_ngram_jaccard_null_text_is_empty_set(spark):
         )
         assert j[(1, 2)] == 1.0, hasher
         assert j[(1, 3)] == 0.0, hasher
+
+
+def test_minhash_md5_family_is_minwise_unbiased(spark):
+    """Statistical check that the 48-bit double-hash family estimates
+    Jaccard without the slot-correlation bias that killed the affine
+    family: over 24 synthetic doc pairs spanning J ∈ ~[0.2, 0.9],
+    the pooled slot-agreement rate must track the pooled exact Jaccard
+    within a few standard errors (24 pairs × 32 slots = 768 draws,
+    se ≈ 0.018), and per-pair estimates must not be systematically
+    one-sided."""
+    import hashlib
+
+    import numpy as np
+
+    from turboxsl_spark.operators.dedup import minhash_signatures_md5
+
+    rng = np.random.default_rng(17)
+    rows = []
+    exact_j = {}
+    for i in range(24):
+        n = 60
+        overlap = int(n * (0.2 + 0.7 * i / 23))
+        base = [f"w{i}_{k}" for k in range(n)]
+        # doc B shares `overlap` tokens of A's tail and adds fresh ones
+        a_toks = base
+        b_toks = base[n - overlap :] + [f"x{i}_{k}" for k in range(n - overlap)]
+        rows.append((2 * i, " ".join(a_toks)))
+        rows.append((2 * i + 1, " ".join(b_toks)))
+
+        def sh3(toks):
+            return {
+                hashlib.md5(" ".join(toks[k : k + 3]).encode()).hexdigest()
+                for k in range(len(toks) - 2)
+            }
+
+        sa, sb = sh3(a_toks), sh3(b_toks)
+        exact_j[i] = len(sa & sb) / len(sa | sb)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["minhash"]
+        for r in minhash_signatures_md5(df, num_hashes=32)
+        .select("doc_id", "minhash")
+        .collect()
+    }
+    diffs = []
+    agree_total = j_total = 0.0
+    for i in range(24):
+        agree = sum(
+            a == b for a, b in zip(sigs[2 * i], sigs[2 * i + 1])
+        ) / 32.0
+        diffs.append(agree - exact_j[i])
+        agree_total += agree
+        j_total += exact_j[i]
+    # pooled estimate unbiased within ~3 se
+    assert abs(agree_total - j_total) / 24 < 0.06, (agree_total / 24, j_total / 24)
+    # not systematically one-sided: both signs occur
+    assert any(d > 0 for d in diffs) and any(d < 0 for d in diffs)
