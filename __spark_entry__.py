@@ -298,6 +298,34 @@ def q_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sort_caseorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 xsl:sort case-order="lower-first": the reference PARSES the
+    attribute (/root/reference/src/transform.c:358-360) but its
+    strcasecmp comparator drops it; this engine implements the
+    documented XSLT semantics via ``caseorder_keys`` — case-insensitive
+    primary + whole-string byte-order tiebreak — on the same
+    distributed two-phase global_rank as q_sort_multikey. Mixed-case
+    keys are synthesized deterministically (even part keys lowercase
+    their type) so every tie group exercises the case ordering."""
+    import tempfile
+
+    from turboxsl_spark.operators.rank import caseorder_keys, global_rank
+
+    p = _t(spark, sf_dir, "part")
+    skey = F.when(
+        F.col("p_partkey") % 2 == 0, F.lower(F.col("p_type"))
+    ).otherwise(F.col("p_type"))
+    df = p.select("p_partkey", skey.alias("skey"))
+    order = caseorder_keys("skey", "lower-first") + [F.col("p_partkey").asc()]
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        "turboxsl_caseorder_" + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_"),
+    )
+    return global_rank(df, order, out="sort_rank", scratch_dir=scratch).select(
+        "p_partkey", "skey", "sort_rank"
+    )
+
+
 def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 string library over documents: normalize-space, translate,
     substring (1-based), substring-before/after, contains, length, md5."""
@@ -825,28 +853,36 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH at its
-    DESIGNED operating point (threshold 0.95, 16 bits / 4 bands),
-    ORACLE-exact end-to-end.
+_PLANTED_CACHE: dict[str, str] = {}
 
-    The raw testdata embeddings contain no true near-dups (max pairwise
-    cos ≈ 0.51), so every 10th (unit-norm) vector gets a DETERMINISTIC
-    perturbed twin — additive md5-derived uniform noise in ±0.015 per
-    component (cos(v, twin) ≈ .998): hex→int→double arithmetic, so
-    both engines build the bit-identical planted corpus (the earlier
-    sin() noise was NOT portable — libm vs Math.sin may differ in the
-    last ulp). Banding math at this point: per-bit match p ≈
-    1-acos(.998)/π ≈ .98, candidate recall 1-(1-p^4)^4 ≈ .9999;
-    measured recall 1.0, asserted per-run by
-    tests/test_entry_near_dup.py. The operator's OUTPUT is a
-    deterministic function of its input (recall < 1 only means some
-    true pairs are skipped, deterministically), so the DuckDB oracle
-    replays the exact pipeline: literal hyperplanes → sign-bit
-    signature → 4-bit band buckets → oversized-bucket cap → bucket
-    self-join → exact-cosine verify.
-    """
-    from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-harness corpus for q_embedding_near_dup: raw embeddings plus
+    the deterministic md5-noise twins, MEMOIZED to a scratch parquet per
+    sf_dir (VERDICT r04 item 5). The per-component md5→conv→arith
+    planting is harness cost, not operator cost — without the memo it
+    dominated the query's bench profile (11.8s median at sf0.1); with
+    it, repeat passes read the materialized corpus and time the
+    OPERATOR. Parquet round-trips float32 exactly, so the memoized
+    corpus is bit-identical to the computed one (oracle unchanged)."""
+    import tempfile
+
+    # stable per-sf path (versioned by the noise parameters) so the
+    # one-time planting survives across PROCESSES too — bench pass 1
+    # and the driver gate read the same materialized fixture instead of
+    # each paying the codegen-heavy planting; _SUCCESS marks a
+    # completed write (Spark emits it on commit)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "turboxsl_planted_emb_v1_n03_"
+        + re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_"),
+    )
+    cached = _PLANTED_CACHE.get(sf_dir)
+    if cached is None and os.path.exists(os.path.join(path, "_SUCCESS")):
+        _PLANTED_CACHE[sf_dir] = path
+        cached = path
+    if cached is not None:
+        return spark.read.parquet(cached)
 
     emb = _t(spark, sf_dir, "embeddings")
     u60 = F.lit(float(1 << 60))
@@ -887,6 +923,37 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     planted = emb.select("vec_id", "embedding").unionByName(twins)
+    planted.write.mode("overwrite").parquet(path)
+    _PLANTED_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH at its
+    DESIGNED operating point (threshold 0.95, 16 bits / 4 bands),
+    ORACLE-exact end-to-end.
+
+    The raw testdata embeddings contain no true near-dups (max pairwise
+    cos ≈ 0.51), so every 10th (unit-norm) vector gets a DETERMINISTIC
+    perturbed twin — additive md5-derived uniform noise in ±0.015 per
+    component (cos(v, twin) ≈ .998): hex→int→double arithmetic, so
+    both engines build the bit-identical planted corpus (the earlier
+    sin() noise was NOT portable — libm vs Math.sin may differ in the
+    last ulp); the planted corpus is memoized to scratch parquet per
+    session (``_planted_embeddings``) so bench medians time the
+    OPERATOR, not the harness planting. Banding math at this point:
+    per-bit match p ≈ 1-acos(.998)/π ≈ .98, candidate recall
+    1-(1-p^4)^4 ≈ .9999; measured recall 1.0, asserted per-run by
+    tests/test_entry_near_dup.py. The operator's OUTPUT is a
+    deterministic function of its input (recall < 1 only means some
+    true pairs are skipped, deterministically), so the DuckDB oracle
+    replays the exact pipeline: literal hyperplanes → sign-bit
+    signature → 4-bit band buckets → oversized-bucket cap → bucket
+    self-join → exact-cosine verify.
+    """
+    from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
+
+    planted = _planted_embeddings(spark, sf_dir)
     pairs = embedding_near_dup_pairs(planted, threshold=0.95, nbits=16, bands=4, dim=64)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
@@ -1258,16 +1325,26 @@ def q_url_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract (VERDICT r04 item 1): the driver's correctness gate
+    # records only the FIRST 50 entries. The 9 queries that had never been
+    # driver-attested through r04 (url_escape FAILED r02, the rest were
+    # always past the cutoff) go FIRST, followed by the new-in-r05
+    # sort_caseorder; the 10 rotated past the cutoff this round are the
+    # longest-attested queries (green in every round through r04).
+    # Rotate each round so every query re-earns a driver-green row.
     return {
-        "agg_pricing": q_agg_pricing,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "topk_per_group": q_topk_per_group,
-        "positional_filter": q_positional_filter,
-        "lag_lead": q_lag_lead,
-        "sessionize": q_sessionize,
-        "forward_fill": q_forward_fill,
-        "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
+        # -- never driver-checked before r05: must land in the gate --
+        "url_escape": q_url_escape,
+        "base64": q_base64,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "comment_pi": q_comment_pi,
+        "kmv_distinct": q_kmv_distinct,
+        "tumbling_rollup": q_tumbling_rollup,
+        "corpus_shards": q_corpus_shards,
+        "mix_resample": q_mix_resample,
+        # -- driver-green in r04, kept inside the 50-row window --
+        "sort_caseorder": q_sort_caseorder,
         "asof_salted": q_asof_salted,
         "asof_salted_fwd": q_asof_salted_fwd,
         "union_all": q_union_all,
@@ -1308,16 +1385,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "repetition_profile": q_repetition_profile,
+        # -- rotated past the 50-row cutoff this round (green in r04) --
         "exact_quantiles": q_exact_quantiles,
-        "pack_sequences": q_pack_sequences,
-        "pii_redact": q_pii_redact,
-        "comment_pi": q_comment_pi,
-        "kmv_distinct": q_kmv_distinct,
-        "tumbling_rollup": q_tumbling_rollup,
-        "corpus_shards": q_corpus_shards,
-        "mix_resample": q_mix_resample,
-        "base64": q_base64,
-        "url_escape": q_url_escape,
+        "agg_pricing": q_agg_pricing,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "topk_per_group": q_topk_per_group,
+        "positional_filter": q_positional_filter,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "forward_fill": q_forward_fill,
+        "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
     }
 
 
@@ -1440,7 +1518,14 @@ def _minhash_dedup_oracle(
               ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
             GROUP BY 1, 2),
         shd AS (
-            SELECT doc_id, list_distinct(list_transform(grams, x -> md5(x))) AS shset
+            -- COALESCE mirrors the Spark side (operators/dedup.py
+            -- ngram_jaccard): NULL text => EMPTY shingle set, so two
+            -- contentless docs verify as jaccard 1.0 on BOTH engines
+            -- (without it DuckDB keeps shset NULL -> NULL jaccard ->
+            -- silently not-a-dup while Spark says dup)
+            SELECT doc_id,
+                   COALESCE(list_distinct(list_transform(grams, x -> md5(x))),
+                            CAST([] AS VARCHAR[])) AS shset
             FROM shing),
         dup AS (
             SELECT cand.id_a, cand.id_b
@@ -1535,30 +1620,48 @@ def _ann_ivf_oracle(
     nprobe: int = 4,
     seed: int = 7,
     sample_size: int = 2000,
-    sf_dir: str = "/root/testdata/sf0.01",
+    sf_dir: str | None = None,
     dim: int = _EMB_DIM,
 ) -> str:
     """Full replay of q_ann_ivf_topk. The centroids are a deterministic
-    function of (file-ordered corpus head, seed): ivf_topk skips the
+    function of (vec_id-ordered corpus head, seed): ivf_topk skips the
     fraction-1.0 sample, so this generator re-trains the IDENTICAL
     k-means via pyarrow+numpy and emits the centroids as SQL literals;
-    corpus and query assignment replay the sequential-fold dots."""
+    corpus and query assignment replay the sequential-fold dots.
+
+    ``sf_dir`` must be the SAME corpus the gate registers as the
+    ``embeddings`` view — the driver's gate is contractually sf0.01, so
+    that is the default; a gate running elsewhere sets
+    ``$SPARK_GRAFT_ORACLE_SF_DIR`` (tools/check_oracle.py does) so the
+    trained centroids match the gated corpus instead of silently
+    diverging (ADVICE r04)."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from turboxsl_spark.operators.similarity import _kmeans_centroids
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    if sf_dir is None:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
     all_rows = tbl.column("embedding").to_pylist()
     if len(all_rows) > 2 * sample_size:
         # ivf_topk would take the seeded-sample training path, which
-        # this file-order replay cannot reproduce — degrade to
-        # rows-only (caller catches) rather than emit a WRONG oracle
+        # this replay cannot reproduce — degrade to rows-only (caller
+        # catches) rather than emit a WRONG oracle
         raise RuntimeError(
             f"corpus has {len(all_rows)} rows > {2 * sample_size}: "
-            "seeded-sample training is not file-order-replayable"
+            "seeded-sample training is not replayable"
         )
-    emb = np.array(all_rows[:sample_size], dtype=np.float64)
+    # mirror ivf_topk's orderBy(vec_id).limit(sample_size) training
+    # slice — id-sorted, not file-ordered, so both sides stay
+    # deterministic on any partition layout (ADVICE r04)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    emb = np.array(
+        [all_rows[i] for i in order[:sample_size]], dtype=np.float64
+    )
     cents = _kmeans_centroids(emb, max(1, min(n_centroids, len(emb))), seed)
     vals = ",\n                ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
@@ -1778,6 +1881,22 @@ def _oracle_sql_literal() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY LOWER(p_type) ASC, p_retailprice DESC,
                                       p_partkey ASC) AS sort_rank
             FROM part
+        """,
+        "sort_caseorder": """
+            -- lower-first = case-insensitive primary + raw-key DESC
+            -- tiebreak (ASCII lower = upper + 32, so byte-descending
+            -- puts the lowercase variant first at the first differing
+            -- position); both engines compare strings by binary
+            -- collation, so the tiebreak is portable
+            WITH k AS (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type)
+                            ELSE p_type END AS skey
+                FROM part)
+            SELECT p_partkey, skey,
+                   ROW_NUMBER() OVER (ORDER BY LOWER(skey) ASC, skey DESC,
+                                      p_partkey ASC) AS sort_rank
+            FROM k
         """,
         "string_ops": """
             WITH n AS (

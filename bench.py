@@ -233,6 +233,7 @@ def measure_scaling(
         "pair_efficiencies": [round(e, 3) for e in effs],
         "n_pairs": len(effs),
         "extra_pairs_on_spread": extra,
+        "spread_gate": spread_gate,
     }
 
 
@@ -435,7 +436,8 @@ def _write_bench_md(result: dict, sf_name: str) -> None:
             f"statistics.median of {s.get('n_pairs')} per-pair ratios (host",
             "throughput on this shared VM drifts ±15% across minutes — pairing",
             "cancels slow-host epochs; alternating order cancels within-pair",
-            "drift; if the pair spread exceeds 0.3, extra pairs are appended",
+            f"drift; if the pair spread exceeds {s.get('spread_gate', 0.25)}, "
+            "extra pairs are appended",
             "in-run — every pair is kept, nothing is discarded).",
             "Scaling pairs run FIRST in a full bench, with cool-down pauses:",
             "sustained full-box load throttles this VM (measured: the same",

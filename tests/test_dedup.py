@@ -467,3 +467,74 @@ def test_minhash_md5_family_is_minwise_unbiased(spark):
     assert abs(agree_total - j_total) / 24 < 0.06, (agree_total / 24, j_total / 24)
     # not systematically one-sided: both signs occur
     assert any(d > 0 for d in diffs) and any(d < 0 for d in diffs)
+
+
+def test_reliable_checkpoint_conf_resolution():
+    """VERDICT r04 item 2: off local[*], duplicate_components must use a
+    RELIABLE checkpoint into the scratch conf (or raise), never an
+    executor-local one. Mirrors test_default_scratch_cluster_safety."""
+    import pytest
+
+    from turboxsl_spark.operators.dedup import _reliable_checkpoint
+
+    class _Conf:
+        def __init__(self, values):
+            self._v = values
+
+        def get(self, key, default=None):
+            return self._v.get(key, default)
+
+    class _SC:
+        def __init__(self):
+            self.dir = None
+
+        def getCheckpointDir(self):
+            return self.dir
+
+        def setCheckpointDir(self, d):
+            self.dir = d
+
+    class _Spark:
+        def __init__(self, values):
+            self.conf = _Conf(values)
+            self.sparkContext = _SC()
+
+    class _DF:
+        def __init__(self, spark):
+            self.sparkSession = spark
+            self.calls = []
+
+        def localCheckpoint(self):
+            self.calls.append("local")
+            return self
+
+        def checkpoint(self):
+            self.calls.append("reliable")
+            return self
+
+    # local master → executor-local checkpoint (fast path)
+    df = _DF(_Spark({"spark.master": "local[4]"}))
+    assert _reliable_checkpoint(df) is df and df.calls == ["local"]
+
+    # cluster master, no scratch conf → raise at plan time
+    df = _DF(_Spark({"spark.master": "yarn"}))
+    with pytest.raises(ValueError, match="cluster-visible"):
+        _reliable_checkpoint(df)
+
+    # cluster master + conf → reliable checkpoint, dir wired once
+    sp = _Spark({"spark.master": "yarn",
+                 "spark.turboxsl.scratchDir": "s3://bkt/scratch/"})
+    df = _DF(sp)
+    assert _reliable_checkpoint(df) is df and df.calls == ["reliable"]
+    assert sp.sparkContext.dir == "s3://bkt/scratch/cc_checkpoints"
+    # second call must not clobber an already-set checkpoint dir
+    sp.sparkContext.dir = "s3://elsewhere/ckpt"
+    df2 = _DF(sp)
+    _reliable_checkpoint(df2)
+    assert sp.sparkContext.dir == "s3://elsewhere/ckpt"
+
+    # an explicitly pre-set checkpoint dir wins even without the conf
+    sp2 = _Spark({"spark.master": "spark://host:7077"})
+    sp2.sparkContext.dir = "hdfs:///ckpt"
+    df3 = _DF(sp2)
+    assert _reliable_checkpoint(df3) is df3 and df3.calls == ["reliable"]

@@ -28,6 +28,52 @@ def test_localize_plural_en_ru(spark):
     assert ru == ["0 книг", "1 книга", "2 книги", "5 книг", "11 книг", "21 книга", "104 книги"]
 
 
+def test_plural_rules_all_reference_languages(spark):
+    """Form-index parity with the reference's 10 per-language rules
+    (/root/reference/src/localization.c:37-86), evaluated as Python
+    ports of the C ternaries and compared against the Spark columns."""
+    from turboxsl_spark.functions.localize import _PLURAL_RULES
+
+    def c_ru(n):  # ru + uk (localization.c:37-45)
+        return 0 if n % 10 == 1 and n % 100 != 11 else (
+            1 if 2 <= n % 10 <= 4 and (n % 100 < 10 or n % 100 >= 20) else 2
+        )
+
+    def c_pl(n):  # localization.c:52-55
+        return 0 if n == 1 else (
+            1 if 2 <= n % 10 <= 4 and (n % 100 < 10 or n % 100 >= 20) else 2
+        )
+
+    def c_two(n):  # en/et/de/es/az/uz/tr (localization.c:47-85)
+        return int(n != 1)
+
+    expected = {
+        "ru": c_ru, "uk": c_ru, "pl": c_pl,
+        "en": c_two, "et": c_two, "de": c_two,
+        "es": c_two, "az": c_two, "uz": c_two, "tr": c_two,
+    }
+    assert set(_PLURAL_RULES) == set(expected)
+    ns = list(range(0, 130)) + [1000, 1001, 1011, 1021, 111, 112, 114, 121]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    sel = df.select(
+        "n", *[_PLURAL_RULES[lang](F.col("n")).alias(lang) for lang in expected]
+    )
+    for row in sel.collect():
+        for lang, c_rule in expected.items():
+            assert row[lang] == c_rule(row["n"]), (lang, row["n"])
+
+
+def test_plural_pl_diverges_from_ru(spark):
+    """The behavioral gap VERDICT r04 flagged: pl singular is exactly
+    n == 1, ru singular is every x1 outside x11 — so 21/31/101 split."""
+    df = spark.createDataFrame([(1,), (21,), (31,), (101,), (11,)], "n long")
+    forms = {"k": ["one", "few", "many"]}
+    pl = [r[0] for r in df.select(localize_plural(F.lit("k"), "n", forms, "pl").alias("v")).collect()]
+    ru = [r[0] for r in df.select(localize_plural(F.lit("k"), "n", forms, "ru").alias("v")).collect()]
+    assert pl == ["one", "many", "many", "many", "many"]
+    assert ru == ["one", "one", "one", "one", "many"]
+
+
 @pytest.mark.parametrize(
     "pattern,value,want",
     [
@@ -74,21 +120,22 @@ def test_format_number_exact_decimal_rounding(spark):
 
 
 def test_format_number_null_semantics(spark):
-    """NULL stays NULL (SQL default) — the mask sits OUTSIDE the Arrow
-    UDF whose float64 path folds null into NaN; null_as_nan=True opts
-    into strict XPath behavior (no null → NaN symbol)."""
+    """XSLT parity is the DEFAULT (ADVICE r04): XPath 1.0 has no null,
+    so a null input renders the NaN symbol like the reference engine;
+    null_as_nan=False opts into SQL NULL-propagation. The mask sits
+    OUTSIDE the Arrow UDF whose float64 path folds null into NaN."""
     df = spark.createDataFrame([(None,), (1.5,)], "x double")
-    got = [
+    got_xpath = [
         r[0] for r in df.select(format_number("x", "0.00").alias("v")).collect()
     ]
-    assert got == [None, "1.50"]
-    got_xpath = [
+    assert got_xpath == ["NaN", "1.50"]
+    got_sql = [
         r[0]
         for r in df.select(
-            format_number("x", "0.00", null_as_nan=True).alias("v")
+            format_number("x", "0.00", null_as_nan=False).alias("v")
         ).collect()
     ]
-    assert got_xpath == ["NaN", "1.50"]
+    assert got_sql == [None, "1.50"]
 
 
 def test_format_number_negative_prefix_placement(spark):

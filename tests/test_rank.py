@@ -141,3 +141,53 @@ def test_default_scratch_cluster_safety():
     # local master with no conf still gets a usable local tempdir
     local = _default_scratch(_Spark({"spark.master": "local[4]"}), "t_")
     assert local.startswith("/")
+
+
+def test_caseorder_keys_lower_and_upper_first(spark):
+    """XSLT 1.0 case-order semantics (the reference parses the flag at
+    transform.c:358-360 but its strcasecmp comparator drops it — we
+    implement the documented behavior)."""
+    from turboxsl_spark.operators.rank import caseorder_keys
+
+    df = spark.createDataFrame(
+        [("aB",), ("Ab",), ("ab",), ("AB",), ("b",), ("A",)], "k string"
+    )
+    def run(case_order, descending=False):
+        keys = caseorder_keys("k", case_order, descending) + [F.col("k").asc()]
+        return [r["k"] for r in df.orderBy(*keys).collect()]
+
+    # case-insensitive primary: "a" < "ab" < "b"; within the "ab" tie
+    # group, lower-first puts per-position lowercase first
+    assert run("lower-first") == ["A", "ab", "aB", "Ab", "AB", "b"]
+    # upper-first is the mirror within each tie group
+    assert run("upper-first") == ["A", "AB", "Ab", "aB", "ab", "b"]
+    # order="descending" reverses the WHOLE comparator, tiebreak included
+    assert run("lower-first", descending=True) == ["b", "AB", "Ab", "aB", "ab", "A"]
+    # no case_order → case-insensitive primary only (input order for ties
+    # is fine; just check the primary grouping holds)
+    got = run(None)
+    assert [g.lower() for g in got] == ["a", "ab", "ab", "ab", "ab", "b"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="case-order"):
+        caseorder_keys("k", "sideways-first")
+
+
+def test_exact_quantiles_single_rank_scan(spark):
+    """After the r05 refactor, exact_quantiles derives n from the
+    rank's own per-partition counts — no separate count() pass. Guard
+    the wiring: _global_rank_counted's total equals the row count."""
+    from turboxsl_spark.operators.rank import _global_rank_counted
+
+    df = spark.range(0, 1234).withColumn("v", (F.col("id") * 37) % 1000)
+    ranked, n = _global_rank_counted(
+        df, [F.col("v").asc(), F.col("id").asc()], out="r",
+        materialize="memory",
+    )
+    assert n == 1234
+    assert ranked.count() == 1234
+    empty, n0 = _global_rank_counted(
+        df.where(F.lit(False)), [F.col("v").asc()], out="r",
+        materialize="memory",
+    )
+    assert n0 == 0 and empty.count() == 0

@@ -16,6 +16,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
+# thread the gated corpus into oracle generators that train on data
+# (_ann_ivf_oracle): the oracle must see the SAME corpus the views
+# register, or its centroid literals silently diverge (ADVICE r04)
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

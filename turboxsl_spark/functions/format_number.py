@@ -143,7 +143,7 @@ def format_number(
     pattern: str,
     symbols: DecimalFormat | str = DecimalFormat(),
     registry: DecimalFormatRegistry | None = None,
-    null_as_nan: bool = False,
+    null_as_nan: bool = True,
 ) -> Column:
     """Vectorized format-number(value, pattern[, decimal-format]).
 
@@ -152,11 +152,14 @@ def format_number(
     resolution happens at plan-build time, so an undeclared name fails
     fast rather than per row.
 
-    NULL input yields NULL (SQL semantics — the null mask sits OUTSIDE
+    NULL input renders the NaN symbol BY DEFAULT — XPath 1.0 has no
+    null, so format-number(number('')) is NaN, and that is what the
+    reference engine emits; this function promises XSLT parity, so
+    parity is the default (ADVICE r04). Pass ``null_as_nan=False`` for
+    SQL NULL-propagation (NULL in → NULL out) when composing with
+    null-aware relational logic. Either way the null mask sits OUTSIDE
     the Arrow UDF, whose float64 path would otherwise fold null into
-    NaN). Pass ``null_as_nan=True`` for strict XPath 1.0 behavior,
-    where there is no null and format-number of an empty value renders
-    the NaN symbol.
+    NaN silently.
     """
     if isinstance(symbols, str):
         symbols = (registry or DecimalFormatRegistry()).get(symbols)

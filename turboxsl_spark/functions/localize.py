@@ -32,23 +32,57 @@ def localize(key: Column | str, catalog: dict[str, str], default: str | None = N
 
 
 def plural_index_en(n: Column) -> Column:
-    """English plural rule: 0 → plural, 1 → singular."""
+    """Two-form rule ``n != 1``: 1 → singular (0), else plural (1).
+
+    The reference uses this identical rule for en, et, de, es, az, uz
+    and tr (/root/reference/src/localization.c:47-85)."""
     return F.when(n == 1, 0).otherwise(1)
 
 
 def plural_index_ru(n: Column) -> Column:
-    """Russian 3-form rule (CLDR): 1/x1 (not x11) → 0; 2-4/x2-x4
-    (not x12-x14) → 1; else → 2."""
+    """East-Slavic 3-form rule (ru and uk,
+    /root/reference/src/localization.c:37-45): x1 (not x11) → 0;
+    x2-x4 outside the teens (``n%100 < 10 or >= 20``) → 1; else → 2."""
     n10 = n % 10
     n100 = n % 100
     return (
         F.when((n10 == 1) & (n100 != 11), 0)
-        .when((n10 >= 2) & (n10 <= 4) & ~((n100 >= 12) & (n100 <= 14)), 1)
+        .when((n10 >= 2) & (n10 <= 4) & ((n100 < 10) | (n100 >= 20)), 1)
         .otherwise(2)
     )
 
 
-_PLURAL_RULES = {"en": plural_index_en, "ru": plural_index_ru}
+def plural_index_pl(n: Column) -> Column:
+    """Polish 3-form rule (/root/reference/src/localization.c:52-55).
+
+    Diverges from ru at the FIRST clause: exactly ``n == 1`` is
+    singular (not every x1 — so 21 is form 2 in pl but form 0 in ru);
+    the 2-4-outside-teens clause matches ru."""
+    n10 = n % 10
+    n100 = n % 100
+    return (
+        F.when(n == 1, 0)
+        .when((n10 >= 2) & (n10 <= 4) & ((n100 < 10) | (n100 >= 20)), 1)
+        .otherwise(2)
+    )
+
+
+# Language → rule table, mirroring the reference's full set of 10
+# (/root/reference/src/localization.c:37-86). Seven languages share the
+# two-form n != 1 rule; ru/uk share the East-Slavic 3-form; pl has its
+# own exact-1 variant.
+_PLURAL_RULES = {
+    "en": plural_index_en,
+    "et": plural_index_en,
+    "de": plural_index_en,
+    "es": plural_index_en,
+    "az": plural_index_en,
+    "uz": plural_index_en,
+    "tr": plural_index_en,
+    "ru": plural_index_ru,
+    "uk": plural_index_ru,
+    "pl": plural_index_pl,
+}
 
 
 def localize_plural(

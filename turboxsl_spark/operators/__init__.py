@@ -15,7 +15,7 @@ from turboxsl_spark.operators.sampling import (
 )
 from turboxsl_spark.operators.packing import pack_fixed_boundary, pack_greedy
 from turboxsl_spark.operators.sketches import kmv_distinct
-from turboxsl_spark.operators.rank import exact_quantiles, global_rank, global_topk
+from turboxsl_spark.operators.rank import caseorder_keys, exact_quantiles, global_rank, global_topk
 
 __all__ = [
     "conv_window",
@@ -32,6 +32,7 @@ __all__ = [
     "pack_fixed_boundary",
     "pack_greedy",
     "kmv_distinct",
+    "caseorder_keys",
     "exact_quantiles",
     "global_rank",
     "global_topk",

@@ -22,6 +22,41 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .rank import SCRATCH_CONF
+
+
+def _reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage in a way that survives executor loss.
+
+    Under ``local[*]`` the executors ARE the driver process, so
+    ``localCheckpoint()`` (in-memory, executor-local) is both safe and
+    the fastest option. On any other master an executor-local checkpoint
+    is a fault-tolerance hole: losing one executor mid-loop discards
+    blocks whose lineage was just truncated and kills the whole job —
+    so there we use a RELIABLE ``checkpoint()`` into the cluster-visible
+    scratch dir (``spark.turboxsl.scratchDir``, same conf as
+    ``global_rank``), wiring ``sparkContext.setCheckpointDir`` on first
+    use. No conf on a cluster → raise at plan time rather than silently
+    truncating lineage against volatile storage.
+    """
+    spark = df.sparkSession
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local"):
+        return df.localCheckpoint()
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        base = spark.conf.get(SCRATCH_CONF, None)
+        if not base:
+            raise ValueError(
+                f"duplicate_components checkpoint on master {master!r}: "
+                f"localCheckpoint is not fault-tolerant off local[*] — set "
+                f"{SCRATCH_CONF} to a cluster-visible path (HDFS/S3/NFS) "
+                f"or call sparkContext.setCheckpointDir yourself"
+            )
+        sc.setCheckpointDir(f"{base.rstrip('/')}/cc_checkpoints")
+    return df.checkpoint()
+
+
 def tokenize(c: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokenization after normalize-space."""
     c = F.col(c) if isinstance(c, str) else c
@@ -385,8 +420,10 @@ def duplicate_components(dupes: DataFrame, max_rounds: int = 16) -> DataFrame:
     distance, so convergence is O(log diameter) rounds.
 
     The loop is data-driven: each round is two self-joins on a (node,
-    rep) long table, localCheckpoint()ed to truncate lineage, and stops
-    at the fixpoint detected by a cheap changed-row probe.
+    rep) long table, checkpointed to truncate lineage (executor-local
+    under ``local[*]``, RELIABLE into ``spark.turboxsl.scratchDir`` on
+    a cluster — see ``_reliable_checkpoint``), and stops at the
+    fixpoint detected by a cheap changed-row probe.
     ``max_rounds`` (default 16 → diameter ≤ 2^16) is a runaway bound,
     not a correctness knob.
 
@@ -394,10 +431,9 @@ def duplicate_components(dupes: DataFrame, max_rounds: int = 16) -> DataFrame:
     rep < node for non-representatives.
     """
     edges = dupes.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    und = (
+    und = _reliable_checkpoint(
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     rep = und.groupBy("a").agg(F.min("b").alias("_mn")).select(
         F.col("a").alias("node"), F.least("_mn", "a").alias("rep")
@@ -411,10 +447,9 @@ def duplicate_components(dupes: DataFrame, max_rounds: int = 16) -> DataFrame:
         ).select("node", F.least("rep", F.coalesce("_nb", "rep")).alias("rep"))
         # (2) pointer-jump through the (tiny) label table
         r2 = stepped.select(F.col("node").alias("_n2"), F.col("rep").alias("_r2"))
-        jumped = (
+        jumped = _reliable_checkpoint(
             stepped.join(r2, stepped.rep == r2._n2, "left")
             .select("node", F.least("rep", F.coalesce("_r2", "rep")).alias("rep"))
-            .localCheckpoint()
         )
         changed = (
             jumped.alias("n")

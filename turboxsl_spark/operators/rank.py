@@ -123,6 +123,27 @@ def global_rank(
     already bounded by construction (``global_topk`` ranks ≤ k rows);
     never hand an unbounded table to this mode.
     """
+    ranked, _ = _global_rank_counted(
+        df, order, out, num_partitions, scratch_dir, materialize
+    )
+    return ranked
+
+
+def _global_rank_counted(
+    df: DataFrame,
+    order: Sequence[Column],
+    out: str = "rank",
+    num_partitions: int | None = None,
+    scratch_dir: str | None = None,
+    materialize: str = "scratch",
+) -> tuple[DataFrame, int]:
+    """``global_rank`` plus the TOTAL row count as a by-product.
+
+    The rank already collects per-partition counts to build the offset
+    table; their sum IS n. Exposing it lets ``exact_quantiles`` skip a
+    whole separate ``count()`` pass over the ranked column (VERDICT r04
+    item 3) — at 100 TB that is a full extra scan saved.
+    """
     spark = df.sparkSession
     order = list(order)
     # no explicit partition count → AQE sizes the range exchange to the
@@ -154,7 +175,7 @@ def global_rank(
         offset_rows.append((r["_gr_pid"], acc))
         acc += r["count"]
     if not offset_rows:
-        return df.withColumn(out, F.lit(None).cast("long")).where(F.lit(False))
+        return df.withColumn(out, F.lit(None).cast("long")).where(F.lit(False)), 0
     offsets = spark.createDataFrame(offset_rows, "_gr_pid int, _gr_off long")
     w = Window.partitionBy("_gr_pid").orderBy(*order)
     ranked = (
@@ -163,7 +184,7 @@ def global_rank(
         .withColumn(out, (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
         .drop("_gr_pid", "_gr_lrn", "_gr_off")
     )
-    return ranked
+    return ranked, acc
 
 
 def exact_quantiles(
@@ -201,19 +222,6 @@ def exact_quantiles(
     slim = df.select(
         v.alias("_q_v"), *[F.col(c) if isinstance(c, str) else c for c in tiebreak]
     )
-    n = slim.count()
-    if n == 0:
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("q", DoubleType()),
-                    StructField("value", slim.schema["_q_v"].dataType),
-                ]
-            ),
-        )
-    targets = [(float(q), _ceil_rank(q, n)) for q in qs]
-    tdf = spark.createDataFrame(targets, "q double, _q_r long")
     order = [F.col("_q_v").asc()] + [
         (F.col(c) if isinstance(c, str) else c).asc() for c in tiebreak
     ]
@@ -221,7 +229,24 @@ def exact_quantiles(
     if own_scratch:
         scratch_dir = _default_scratch(spark, "turboxsl_quantiles_")
     try:
-        ranked = global_rank(slim, order, out="_q_rank", scratch_dir=scratch_dir)
+        # rank FIRST: the rank's own offset pass already sums the
+        # per-partition counts, so n falls out for free — no separate
+        # slim.count() scan (that was a whole extra pass at scale)
+        ranked, n = _global_rank_counted(
+            slim, order, out="_q_rank", scratch_dir=scratch_dir
+        )
+        if n == 0:
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("q", DoubleType()),
+                        StructField("value", slim.schema["_q_v"].dataType),
+                    ]
+                ),
+            )
+        targets = [(float(q), _ceil_rank(q, n)) for q in qs]
+        tdf = spark.createDataFrame(targets, "q double, _q_r long")
         # the result is bounded by len(qs) — materialize it eagerly so
         # the rank's scratch parquet can be freed HERE instead of
         # leaking until some later action
@@ -265,3 +290,45 @@ def global_topk(
     return global_rank(
         top, order, out=out, num_partitions=max(2, min(8, k)), materialize="memory"
     )
+
+
+def caseorder_keys(
+    col: Column | str,
+    case_order: str | None = None,
+    descending: bool = False,
+) -> list[Column]:
+    """Sort expressions for one case-insensitive ``xsl:sort`` key with
+    the XSLT 1.0 ``case-order`` attribute.
+
+    The reference PARSES ``case-order="lower-first"`` into
+    ``XML_FLAG_LOWER`` (/root/reference/src/transform.c:358-360) but
+    its comparator never reads the flag — it always runs plain
+    ``xml_strcasecmp`` (/root/reference/src/xpath.c:546), so ties
+    between case variants come out in input order. This helper
+    implements the attribute's DOCUMENTED semantics (a superset of the
+    reference): primary key = ``lower(col)``; when ``case_order`` is
+    given, a whole-string tiebreak on the raw column orders
+    case-insensitive ties.
+
+    Why the tiebreak works: two strings tied on ``lower()`` differ only
+    by letter case position-wise, and ASCII lowercase = uppercase + 32,
+    so descending byte order prefers the lowercase variant at the first
+    differing position — exactly per-character lower-first. (Strictly
+    ASCII reasoning; non-ASCII case pairs whose code-point order
+    differs may tie-order differently.) ``order="descending"``
+    reverses the WHOLE comparator, tiebreak included, matching XSLT.
+
+    Splice the returned list into a ``global_rank``/``orderBy`` spec;
+    follow it with a unique tiebreak column for a total order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    primary = F.lower(c)
+    keys = [primary.desc() if descending else primary.asc()]
+    if case_order is not None:
+        if case_order not in ("lower-first", "upper-first"):
+            raise ValueError(
+                f"case-order must be 'lower-first' or 'upper-first', got {case_order!r}"
+            )
+        tie_desc = (case_order == "lower-first") != descending
+        keys.append(c.desc() if tie_desc else c.asc())
+    return keys

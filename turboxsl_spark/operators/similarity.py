@@ -88,7 +88,10 @@ def random_hyperplane_bucket(
     planes = _hyperplanes(nbits, dim, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        # one array literal per plane (F.lit on the whole list), not 64
+        # per-element lits — plan CONSTRUCTION is driver-side Py4J
+        # traffic, and per-element lits made it ~2s per call at nbits=16
+        plane = F.lit([float(x) for x in p])
         bit = (dot(vec, plane) > 0).cast("long")
         bucket = bucket + bit * F.lit(1 << i)
     return bucket
@@ -130,7 +133,7 @@ def ivf_assign_jvm(vec: Column, centroids: np.ndarray) -> Column:
     the pandas path applies is unnecessary here (centroids are unit)."""
     entries = []
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        lit = F.lit([float(x) for x in c])  # whole-array literal, one Py4J call
         entries.append(F.struct(dot(vec, lit).alias("s"), F.lit(-i).alias("ni")))
     return (-F.array_max(F.array(*entries))["ni"]).cast("int")
 
@@ -164,7 +167,7 @@ def ivf_query_assign_jvm(vec: Column, centroids: np.ndarray, nprobe: int) -> Col
     may differ in the last ulp."""
     entries = []
     for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        lit = F.lit([float(x) for x in c])  # whole-array literal, one Py4J call
         entries.append(
             F.struct((-dot(vec, lit)).alias("ns"), F.lit(i).alias("i"))
         )
@@ -215,10 +218,19 @@ def ivf_topk(
     frac = min(1.0, (2.0 * sample_size) / n_corpus)
     if frac >= 1.0:
         # whole corpus fits the training budget: a fraction-1.0 sample
-        # would return every row anyway — skip it so the training set
-        # (and thus the centroids) is a pure function of file order,
-        # which the DuckDB-oracle generator replays via pyarrow
-        rows = corpus.select(vec_col).limit(sample_size).collect()
+        # would return every row anyway — skip it. Order by the id
+        # BEFORE the limit: a bare limit() is only file-order
+        # deterministic on a single-file local read, while orderBy+limit
+        # is a TakeOrderedAndProject — reproducible on any partition
+        # layout, and exactly what the DuckDB-oracle generator replays
+        # (id-sorted head of the corpus)
+        rows = (
+            corpus.select(corpus_id, vec_col)
+            .orderBy(corpus_id)
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        )
     else:
         rows = (
             corpus.select(vec_col)
@@ -227,7 +239,13 @@ def ivf_topk(
             .collect()
         )
         if not rows:  # pathological tiny-fraction draw — fall back to head
-            rows = corpus.select(vec_col).limit(sample_size).collect()
+            rows = (
+                corpus.select(corpus_id, vec_col)
+                .orderBy(corpus_id)
+                .limit(sample_size)
+                .select(vec_col)
+                .collect()
+            )
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     n_centroids = max(1, min(n_centroids, len(sample)))
     cents = _kmeans_centroids(sample, n_centroids, seed)
