@@ -92,8 +92,10 @@ def localize_plural(
     lang: str = "en",
 ) -> Column:
     """``ltr:__ln``: pick the plural form for ``n`` and interpolate
-    ``{n}``. ``forms`` maps message key → list of forms (2 for en,
-    3 for ru)."""
+    ``{n}``. ``forms`` maps message key → list of forms (2 for the
+    two-form languages en/et/de/es/az/uz/tr, 3 for ru/uk/pl); ``lang``
+    selects the rule from ``_PLURAL_RULES`` (the reference's full set,
+    /root/reference/src/localization.c:37-86)."""
     key = F.col(key) if isinstance(key, str) else key
     n = (F.col(n) if isinstance(n, str) else n).cast("long")
     idx = _PLURAL_RULES[lang](n)
