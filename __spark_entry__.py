@@ -977,6 +977,41 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership decontamination, ORACLE-exact INCLUDING
+    any false positives: a 1024-bit / 4-hash filter is built over the
+    benchmark docs' normalized text (every 17th doc), then every doc is
+    probed MAP-ONLY against the dense filter literal (zero shuffles in
+    the probe — the scale story vs `decontaminate`'s broadcast distinct
+    set: the filter is a fixed m-bit summary regardless of benchmark
+    size). Bit positions are md5 double hashing (the engine's portable
+    sketch family), so DuckDB rebuilds the identical filter and replays
+    the probe bit-for-bit; `exact_hit` is reported alongside so the
+    output also DEMONSTRATES the no-false-negative guarantee."""
+    from turboxsl_spark.operators.sampling import NULL_SENTINEL
+    from turboxsl_spark.operators.sketches import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents")
+    nt = F.coalesce(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+        F.lit(NULL_SENTINEL),
+    )
+    keyed = d.select("doc_id", nt.alias("_nt"))
+    bench = keyed.where(F.col("doc_id") % 17 == 0)
+    words = bloom_build(bench, "_nt", m=1024, k=4, salt="bloom_v1")
+    probed = bloom_probe(keyed, words, "_nt", k=4, salt="bloom_v1")
+    exact = bench.select(F.col("_nt")).distinct().withColumn("_ex", F.lit(True))
+    return (
+        probed.join(exact, "_nt", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("_ex", F.lit(False)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing, oracle-checked end-to-end: docs with
     doc_id % 3 == 0 get deterministic planted PII (email, IPv4, phone,
@@ -1345,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_resample": q_mix_resample,
         # -- driver-green in r04, kept inside the 50-row window --
         "sort_caseorder": q_sort_caseorder,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "asof_salted": q_asof_salted,
         "asof_salted_fwd": q_asof_salted_fwd,
         "union_all": q_union_all,
@@ -1384,8 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
-        "repetition_profile": q_repetition_profile,
         # -- rotated past the 50-row cutoff this round (green in r04) --
+        "repetition_profile": q_repetition_profile,
         "exact_quantiles": q_exact_quantiles,
         "agg_pricing": q_agg_pricing,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -2219,6 +2255,43 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
                         ELSE {float(31 << 32)!r} / hk END AS distinct_est
             FROM k ORDER BY lang
+        """,
+        "bloom_decontaminate": r"""
+            -- full replay of the 1024-bit/4-hash Bloom filter: same md5
+            -- double hashing (48-bit halves), same 32-bit words, same
+            -- bit_or build and bool_and probe — false positives and all
+            WITH nrm AS (
+                SELECT doc_id,
+                       COALESCE(lower(TRIM(regexp_replace(text, '\s+', ' ', 'g'))),
+                                chr(0) || 'null') AS nt
+                FROM documents),
+            h AS (
+                SELECT doc_id, nt,
+                       CAST(('0x' || substr(md5('bloom_v1' || chr(31) || nt), 1, 12)) AS UBIGINT)::BIGINT AS h1,
+                       CAST(('0x' || substr(md5('bloom_v1' || chr(31) || nt), 13, 12)) AS UBIGINT)::BIGINT AS h2
+                FROM nrm),
+            bpos AS (
+                SELECT (h1 + j * h2) % 1024 AS p
+                FROM h, (SELECT unnest(range(0, 4)) AS j) js
+                WHERE doc_id % 17 = 0),
+            words AS (
+                SELECT CAST(p // 32 AS INTEGER) AS word,
+                       bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+                FROM bpos GROUP BY 1),
+            ppos AS (
+                SELECT doc_id, (h1 + j * h2) % 1024 AS p
+                FROM h, (SELECT unnest(range(0, 4)) AS j) js),
+            probe AS (
+                SELECT doc_id,
+                       BOOL_AND((COALESCE(w.bits, 0)
+                                 & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0) AS bloom_hit
+                FROM ppos LEFT JOIN words w ON w.word = CAST(p // 32 AS INTEGER)
+                GROUP BY doc_id),
+            bset AS (SELECT DISTINCT nt FROM h WHERE doc_id % 17 = 0)
+            SELECT h.doc_id, probe.bloom_hit,
+                   (h.nt IN (SELECT nt FROM bset)) AS exact_hit
+            FROM h JOIN probe USING (doc_id)
+            ORDER BY doc_id
         """,
         "comment_pi": r"""
             WITH t AS (

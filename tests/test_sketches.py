@@ -63,3 +63,127 @@ def test_kmv_validation(spark):
     df = spark.range(3).selectExpr("'a' AS g", "id")
     with pytest.raises(ValueError):
         kmv_distinct(df, "g", "id", k=1)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def _bloom_ref_positions(key: str, m: int, k: int, salt: str) -> list[int]:
+    d = hashlib.md5(f"{salt}\x1f{key}".encode()).hexdigest()
+    h1, h2 = int(d[:12], 16), int(d[12:24], 16)
+    return [(h1 + j * h2) % m for j in range(k)]
+
+
+def _bloom_ref_build(keys, m, k, salt):
+    words = [0] * (m // 32)
+    for key in keys:
+        for p in _bloom_ref_positions(key, m, k, salt):
+            words[p // 32] |= 1 << (p % 32)
+    return words
+
+
+def _bloom_ref_probe(key, words, m, k, salt):
+    return all(
+        words[p // 32] & (1 << (p % 32)) for p in _bloom_ref_positions(key, m, k, salt)
+    )
+
+
+def test_bloom_build_matches_hashlib_reference(spark):
+    from turboxsl_spark.operators.sketches import bloom_build
+
+    keys = [f"doc-{i}" for i in range(200)]
+    df = spark.createDataFrame([(s,) for s in keys], "key string")
+    got = bloom_build(df, "key", m=1024, k=4, salt="s1")
+    assert got == _bloom_ref_build(keys, 1024, 4, "s1")
+
+
+def test_bloom_probe_no_false_negatives_and_deterministic_fps(spark):
+    from turboxsl_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = [f"in-{i}" for i in range(150)]
+    probes = members + [f"out-{i}" for i in range(300)]
+    df_m = spark.createDataFrame([(s,) for s in members], "key string")
+    words = bloom_build(df_m, "key", m=1024, k=4)
+    df_p = spark.createDataFrame([(s,) for s in probes], "key string")
+    got = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(df_p, words, "key", k=4).collect()
+    }
+    # no false negatives
+    assert all(got[s] for s in members)
+    # false positives exist at this load factor (150 keys * 4 bits in
+    # 1024) AND match the reference bit-for-bit — portability is the
+    # contract, not FP-freeness
+    expect = {s: _bloom_ref_probe(s, words, 1024, 4, "") for s in probes}
+    assert got == expect
+    assert any(got[s] for s in probes if s.startswith("out-"))
+    assert not all(got[s] for s in probes if s.startswith("out-"))
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from turboxsl_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = [f"a-{i}" for i in range(80)]
+    b = [f"b-{i}" for i in range(90)]
+    df_a = spark.createDataFrame([(s,) for s in a], "key string")
+    df_b = spark.createDataFrame([(s,) for s in b], "key string")
+    df_ab = spark.createDataFrame([(s,) for s in a + b], "key string")
+    merged = bloom_merge(
+        bloom_build(df_a, "key", m=512, k=3), bloom_build(df_b, "key", m=512, k=3)
+    )
+    assert merged == bloom_build(df_ab, "key", m=512, k=3)
+
+
+def test_bloom_probe_join_matches_literal_probe(spark):
+    from turboxsl_spark.operators.sketches import (
+        bloom_build,
+        bloom_build_df,
+        bloom_probe,
+        bloom_probe_join,
+    )
+
+    members = [f"m-{i}" for i in range(100)]
+    probes = [f"m-{i}" for i in range(50)] + [f"x-{i}" for i in range(200)]
+    df_m = spark.createDataFrame([(s,) for s in members], "key string")
+    df_p = spark.createDataFrame([(s,) for s in probes], "key string")
+    words = bloom_build(df_m, "key", m=2048, k=5)
+    sparse = bloom_build_df(df_m, "key", m=2048, k=5)
+    lit = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(df_p, words, "key", k=5).collect()
+    }
+    jn = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe_join(df_p, sparse, "key", m=2048, k=5).collect()
+    }
+    assert lit == jn
+
+
+def test_bloom_probe_join_is_broadcast_and_probe_is_map_only(spark):
+    from turboxsl_spark.operators.sketches import (
+        bloom_build,
+        bloom_build_df,
+        bloom_probe,
+        bloom_probe_join,
+    )
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    words = bloom_build(df, "key", m=512, k=3)
+    plan_lit = bloom_probe(df, words, "key", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_lit and "BatchEvalPython" not in plan_lit
+    sparse = bloom_build_df(df, "key", m=512, k=3)
+    plan_j = bloom_probe_join(df, sparse, "key", m=512, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_j and "BatchEvalPython" not in plan_j
+
+
+def test_bloom_validation(spark):
+    from turboxsl_spark.operators.sketches import bloom_build, bloom_merge
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS key")
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", m=100, k=3)  # not a multiple of 32
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", m=512, k=0)
+    with pytest.raises(ValueError):
+        bloom_merge([0] * 4, [0] * 8)

@@ -1,4 +1,7 @@
-"""KMV (k-minimum-values) distinct-count sketch.
+"""Deterministic, engine-portable sketches: KMV distinct-count and a
+Bloom membership filter.
+
+KMV (k-minimum-values) distinct-count sketch.
 
 The deterministic sketch family: hash every key with the engine's
 pure md5 function (``sampling._hash_u32`` — the same hash the
@@ -81,3 +84,190 @@ def kmv_distinct(
         F.max("_h").cast("long").alias("kth_hash"),
         est.alias("distinct_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter
+# ---------------------------------------------------------------------------
+#
+# The mergeable MEMBERSHIP complement of KMV: at 100 TB a broadcast
+# distinct-key set (as `decontaminate` uses for its benchmark side)
+# stops fitting executor memory long before the corpus does; a Bloom
+# filter of the same set is a fixed m-bit summary with a tunable false
+# positive rate (~(1 - e^{-k*n/m})^k) and NO false negatives. Two
+# filters over the same (m, k, salt) merge by bitwise OR — cross-day /
+# cross-shard rollups compose exactly like the KMV min-k union.
+#
+# Engine-portable by the same rule as everything in this family: bit
+# positions derive from md5 double hashing (h1 + j*h2 mod m, h1/h2 =
+# the two 48-bit halves of the key digest — the minhash md5-twin
+# recipe), so ANY engine reproduces the filter bit-for-bit; the DuckDB
+# oracle replays build AND probe, INCLUDING the false positives.
+# Words are 32-bit (stored in longs): `1 << (pos % 32)` stays far from
+# the sign bit, so the shift is portable (DuckDB raises on a 1<<63
+# BIGINT overflow; Spark wraps — 32-bit words sidestep both).
+
+BLOOM_WORD_BITS = 32
+
+
+def _bit_mask(pos: Column) -> Column:
+    """``1 << (pos % 32)`` as a long. ``F.shiftleft`` takes only a
+    Python-int shift, so the column form goes through ``pow(2, b)`` —
+    exact in a double for b < 32 (well under the 2^53 mantissa)."""
+    return F.pow(F.lit(2.0), (pos % BLOOM_WORD_BITS).cast("double")).cast("long")
+
+
+def _bloom_h12(key_cols: Sequence[Column | str], salt: str) -> tuple[Column, Column]:
+    """The two 48-bit halves of md5(salt SEP key...) — same NULL/SEP
+    encoding as ``sampling._hash_u32`` (injective tuple hashing)."""
+    from turboxsl_spark.operators.sampling import NULL_SENTINEL, SEP
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    keyed = [F.coalesce(c.cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
+    digest = F.md5(F.concat_ws(SEP, F.lit(salt), *keyed))
+    h1 = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_positions(
+    key_cols: Sequence[Column | str], m: int, k: int, salt: str = ""
+) -> Column:
+    """``array<long>`` of the key's k bit positions in an m-bit filter:
+    pos_j = (h1 + j*h2) mod m (enhanced double hashing stays unbiased
+    for k << 2^48). Max intermediate is h1 + (k-1)*h2 < (k)·2^48 —
+    overflow-free in a long for any sane k (< 32767)."""
+    h1, h2 = _bloom_h12(key_cols, salt)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: (h1 + j.cast("long") * h2) % m,
+    )
+
+
+def _validate_mk(m: int, k: int) -> None:
+    if m < BLOOM_WORD_BITS or m % BLOOM_WORD_BITS:
+        raise ValueError(f"m must be a positive multiple of {BLOOM_WORD_BITS}, got {m}")
+    if not 1 <= k < 1024:
+        raise ValueError(f"k must be in [1, 1024), got {k}")
+
+
+def bloom_build_df(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    m: int,
+    k: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Distributed Bloom build → SPARSE word table ``(word int,
+    bits long)`` (32 bits used per word), one row per non-zero word.
+
+    Scale shape: k exploded rows per input row, then ONE map-side-
+    combined ``bit_or`` aggregation on the word index — ≤ m/32 output
+    rows regardless of input size. This is the build to use when the
+    filter itself is big (large m) or when composing filters without a
+    driver round-trip (union the inputs, or bit_or two sparse tables).
+    """
+    _validate_mk(m, k)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    pos = df.select(
+        F.explode(bloom_positions(keys, m, k, salt)).alias("_pos")
+    )
+    return (
+        pos.select(
+            (F.col("_pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+            _bit_mask(F.col("_pos")).alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    m: int,
+    k: int = 4,
+    salt: str = "",
+) -> list[int]:
+    """Distributed Bloom build → DENSE driver-side word list of length
+    m/32 (the collect is bounded by m — a filter PARAMETER, never the
+    data). Feed to ``bloom_probe`` for the map-only probe."""
+    sparse = bloom_build_df(df, key_cols, m, k, salt).collect()
+    words = [0] * (m // BLOOM_WORD_BITS)
+    for r in sparse:
+        words[r["word"]] = r["bits"]
+    return words
+
+
+def bloom_merge(a: list[int], b: list[int]) -> list[int]:
+    """OR-merge two dense filters built with identical (m, k, salt)."""
+    if len(a) != len(b):
+        raise ValueError(f"word counts differ: {len(a)} vs {len(b)}")
+    return [x | y for x, y in zip(a, b)]
+
+
+def bloom_probe(
+    df: DataFrame,
+    words: list[int],
+    key_cols: str | Sequence[str],
+    k: int = 4,
+    salt: str = "",
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """MAP-ONLY membership probe against a dense filter: the word list
+    becomes ONE plan-time array literal (m/32 longs — fine up to a few
+    million bits; beyond that use ``bloom_probe_join``), each of the
+    key's k bits is tested with element_at + bitwise AND, zero
+    shuffles, zero Python. No false negatives; false positives are a
+    deterministic function of (keys, m, k, salt) — the DuckDB oracle
+    reproduces them exactly."""
+    m = len(words) * BLOOM_WORD_BITS
+    _validate_mk(m, k)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    lit = F.lit([int(w) for w in words])
+    pos = bloom_positions(keys, m, k, salt)
+    hit = F.forall(
+        pos,
+        lambda p: F.element_at(
+            lit, (p / BLOOM_WORD_BITS).cast("int") + 1
+        ).bitwiseAND(_bit_mask(p))
+        != 0,
+    )
+    return df.withColumn(out, hit)
+
+
+def bloom_probe_join(
+    df: DataFrame,
+    bloom_df: DataFrame,
+    key_cols: str | Sequence[str],
+    m: int,
+    k: int = 4,
+    salt: str = "",
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe against the SPARSE word table — the large-m
+    scale path (a 2^30-bit filter is 32 MB dense: too big for a plan
+    literal, trivial for a broadcast join). Per distinct key tuple:
+    explode its k positions, broadcast-join the word table, a key is a
+    hit iff EVERY position's word exists and has the bit set
+    (``bool_and``); membership then joins back onto the rows by key.
+    Two bounded shuffles (distinct keys, k-row-per-key agg) + one
+    broadcast; falls back to a shuffled join automatically if Spark
+    deems the word table too big to broadcast."""
+    _validate_mk(m, k)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    kdf = df.select(*keys).distinct()
+    pos = kdf.select(
+        *keys, F.explode(bloom_positions(keys, m, k, salt)).alias("_pos")
+    ).select(
+        *keys,
+        (F.col("_pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+        _bit_mask(F.col("_pos")).alias("_mask"),
+    )
+    joined = pos.join(F.broadcast(bloom_df), "word", "left")
+    per_key = joined.groupBy(*keys).agg(
+        F.every(
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
+        ).alias(out)
+    )
+    return df.join(per_key, keys, "left")
