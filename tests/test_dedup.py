@@ -538,3 +538,45 @@ def test_reliable_checkpoint_conf_resolution():
     sp2.sparkContext.dir = "hdfs:///ckpt"
     df3 = _DF(sp2)
     assert _reliable_checkpoint(df3) is df3 and df3.calls == ["reliable"]
+
+
+def test_decontaminate_bloom_prefilter_is_lossless(spark):
+    """The Bloom pre-filter has no false negatives, so decontaminate's
+    output must be IDENTICAL with and without it — across both the
+    hash and string shingle paths and both join strategies, and at a
+    deliberately tiny m (high FPR) so the exact join actually has
+    false positives to discard."""
+    from turboxsl_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta iota kappa") for i in range(40)]
+        + [(100, "the quick brown fox jumps over the lazy dog today ok")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy dog")],
+        "bid long, text string",
+    )
+    for use_hashes in (True, False):
+        for broadcast_bench in (True, False):
+            base = {
+                r["doc_id"]: (r["contam_hits"], r["contaminated"])
+                for r in decontaminate(
+                    docs, bench, n=4, use_hashes=use_hashes,
+                    broadcast_bench=broadcast_bench,
+                ).collect()
+            }
+            pre = {
+                r["doc_id"]: (r["contam_hits"], r["contaminated"])
+                for r in decontaminate(
+                    docs, bench, n=4, use_hashes=use_hashes,
+                    broadcast_bench=broadcast_bench,
+                    bloom_prefilter_m=64, bloom_prefilter_k=2,
+                ).collect()
+            }
+            assert base == pre, (use_hashes, broadcast_bench)
+    # sanity: the planted overlap is detected
+    hit = decontaminate(docs, bench, n=4, bloom_prefilter_m=64).where(
+        F.col("contaminated")
+    ).select("doc_id").collect()
+    assert [r["doc_id"] for r in hit] == [100]

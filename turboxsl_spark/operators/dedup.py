@@ -620,6 +620,8 @@ def decontaminate(
     min_hits: int = 1,
     use_hashes: bool = True,
     broadcast_bench: bool = True,
+    bloom_prefilter_m: int | None = None,
+    bloom_prefilter_k: int = 4,
 ) -> DataFrame:
     """Flag training documents contaminated by an eval/benchmark set.
 
@@ -643,6 +645,17 @@ def decontaminate(
     token tuple (``shingle_hashes`` — no string assembly, negligible
     collision rate); ``False`` uses the literal shingle strings (the
     SQL-expressible twin the driver oracle checks).
+
+    ``bloom_prefilter_m``: optional LOSSLESS accelerator for the
+    shuffled path — a Bloom filter (``sketches.bloom_build``, m bits /
+    ``bloom_prefilter_k`` hashes) over the benchmark shingles drops doc
+    shingles map-side BEFORE the join. Bloom has no false negatives, so
+    every true match survives and the exact join removes the false
+    positives: the output is IDENTICAL with or without it
+    (test-pinned). Worth it when ``broadcast_bench=False`` (the bench
+    set outgrew executor memory): a clean corpus then ships ~FPR of its
+    shingles through the shuffle instead of all of them. Building the
+    filter runs one bounded eager job (collect of m/32 longs).
     """
     shingler = shingle_hashes if use_hashes else shingles
     # materialize tokens into a bound column BEFORE the shingle
@@ -654,11 +667,26 @@ def decontaminate(
         .select(F.explode(shingler(F.col("_toks"), n)).alias("_sh"))
         .distinct()
     )
-    if broadcast_bench:
-        bench_sh = F.broadcast(bench_sh)
     doc_sh = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).select(F.col(id_col), F.explode(shingler(F.col("_toks"), n)).alias("_sh"))
+    if bloom_prefilter_m is not None:
+        from turboxsl_spark.operators.sketches import bloom_build, bloom_probe
+
+        words = bloom_build(
+            bench_sh, "_sh", m=bloom_prefilter_m, k=bloom_prefilter_k,
+            salt="decontam_bloom",
+        )
+        doc_sh = (
+            bloom_probe(
+                doc_sh, words, "_sh", k=bloom_prefilter_k,
+                salt="decontam_bloom", out="_bh",
+            )
+            .where(F.col("_bh"))
+            .drop("_bh")
+        )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
     hits = (
         doc_sh.join(bench_sh, "_sh")
         .groupBy(id_col)
