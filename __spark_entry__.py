@@ -1012,6 +1012,31 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min token-frequency sketch, ORACLE-exact including every
+    collision overcount: a 4×512 counter matrix is built over ALL token
+    occurrences in the corpus (one map-side-combined count agg — the
+    sketch is ≤ w·d counters regardless of corpus size), then a
+    deterministic probe vocabulary (tokens of every 97th doc) is
+    estimated MAP-ONLY against the dense counter literal and reported
+    next to the exact counts. ``cm_est >= exact_cnt`` always (CM never
+    undercounts); equality wherever the token's d cells are
+    collision-free. DuckDB rebuilds the identical counters and
+    estimates — the md5 double-hash family again."""
+    from turboxsl_spark.operators.sketches import cm_build, cm_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok")).where(
+        F.length("tok") > 0
+    )
+    sketch = cm_build(toks, "tok", w=512, d=4, salt="cm_v1")
+    probe = toks.where(F.col("doc_id") % 97 == 0).select("tok").distinct()
+    est = cm_estimate(probe, sketch, "tok", salt="cm_v1")
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "tok").select("tok", "cm_est", "exact_cnt").orderBy("tok")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing, oracle-checked end-to-end: docs with
     doc_id % 3 == 0 get deterministic planted PII (email, IPv4, phone,
@@ -1381,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver-green in r04, kept inside the 50-row window --
         "sort_caseorder": q_sort_caseorder,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "cm_token_freq": q_cm_token_freq,
         "asof_salted": q_asof_salted,
         "asof_salted_fwd": q_asof_salted_fwd,
         "union_all": q_union_all,
@@ -1419,8 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
         # -- rotated past the 50-row cutoff this round (green in r04) --
+        "stratified_sample": q_stratified_sample,
         "repetition_profile": q_repetition_profile,
         "exact_quantiles": q_exact_quantiles,
         "agg_pricing": q_agg_pricing,
@@ -2292,6 +2318,41 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (h.nt IN (SELECT nt FROM bset)) AS exact_hit
             FROM h JOIN probe USING (doc_id)
             ORDER BY doc_id
+        """,
+        "cm_token_freq": r"""
+            -- full replay of the 4x512 Count-Min sketch: identical md5
+            -- double-hash counter indices, identical counts, identical
+            -- min-over-rows estimates (collision overcounts included)
+            WITH n AS (
+                SELECT doc_id,
+                       lower(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                FROM documents),
+            tok0 AS (SELECT doc_id, unnest(str_split(norm, ' ')) AS tok FROM n),
+            tok2 AS (SELECT doc_id, tok FROM tok0 WHERE LENGTH(tok) > 0),
+            h AS (
+                SELECT tok,
+                       CAST(('0x' || substr(md5('cm_v1' || chr(31) || tok), 1, 12)) AS UBIGINT)::BIGINT AS h1,
+                       CAST(('0x' || substr(md5('cm_v1' || chr(31) || tok), 13, 12)) AS UBIGINT)::BIGINT AS h2
+                FROM (SELECT DISTINCT tok FROM tok2)),
+            cpos AS (
+                SELECT t.tok, js.j, (h.h1 + js.j * h.h2) % 512 AS idx
+                FROM tok2 t JOIN h ON h.tok = t.tok
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+            counters AS (SELECT j, idx, COUNT(*) AS cnt FROM cpos GROUP BY 1, 2),
+            probe AS (SELECT DISTINCT tok FROM tok2 WHERE doc_id % 97 = 0),
+            ppos AS (
+                SELECT p.tok, js.j, (h.h1 + js.j * h.h2) % 512 AS idx
+                FROM probe p JOIN h ON h.tok = p.tok
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+            est AS (
+                SELECT ppos.tok, MIN(COALESCE(c.cnt, 0)) AS cm_est
+                FROM ppos LEFT JOIN counters c ON c.j = ppos.j AND c.idx = ppos.idx
+                GROUP BY 1),
+            exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM tok2 GROUP BY tok)
+            SELECT est.tok, CAST(est.cm_est AS BIGINT) AS cm_est,
+                   CAST(exact.exact_cnt AS BIGINT) AS exact_cnt
+            FROM est JOIN exact USING (tok)
+            ORDER BY tok
         """,
         "comment_pi": r"""
             WITH t AS (

@@ -187,3 +187,87 @@ def test_bloom_validation(spark):
         bloom_build(df, "key", m=512, k=0)
     with pytest.raises(ValueError):
         bloom_merge([0] * 4, [0] * 8)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _cm_ref_build(occurrences, w, d, salt):
+    counters = [[0] * w for _ in range(d)]
+    for key in occurrences:
+        dg = hashlib.md5(f"{salt}\x1f{key}".encode()).hexdigest()
+        h1, h2 = int(dg[:12], 16), int(dg[12:24], 16)
+        for j in range(d):
+            counters[j][(h1 + j * h2) % w] += 1
+    return counters
+
+
+def _cm_ref_est(key, counters, salt):
+    d, w = len(counters), len(counters[0])
+    dg = hashlib.md5(f"{salt}\x1f{key}".encode()).hexdigest()
+    h1, h2 = int(dg[:12], 16), int(dg[12:24], 16)
+    return min(counters[j][(h1 + j * h2) % w] for j in range(d))
+
+
+def test_cm_build_matches_hashlib_reference(spark):
+    from turboxsl_spark.operators.sketches import cm_build
+
+    occ = [f"t{i % 37}" for i in range(500)]  # skewed multiplicities
+    df = spark.createDataFrame([(s,) for s in occ], "key string")
+    got = cm_build(df, "key", w=64, d=3, salt="cm1")
+    assert got == _cm_ref_build(occ, 64, 3, "cm1")
+
+
+def test_cm_estimate_never_undercounts_and_is_exact_at_width(spark):
+    from collections import Counter
+
+    from turboxsl_spark.operators.sketches import cm_build, cm_estimate
+
+    occ = [f"w{i % 23}" for i in range(400)] + ["rare"] * 3
+    truth = Counter(occ)
+    df = spark.createDataFrame([(s,) for s in occ], "key string")
+    probe = spark.createDataFrame([(k,) for k in truth], "key string")
+    # tight width → collisions → overestimates allowed, under never
+    tight = cm_build(df, "key", w=16, d=4)
+    got = {r["key"]: r["cm_est"] for r in cm_estimate(probe, tight, "key").collect()}
+    assert all(got[k] >= truth[k] for k in truth)
+    assert got == {k: _cm_ref_est(k, tight, "") for k in truth}
+    # generous width → exact for every key
+    wide = cm_build(df, "key", w=4096, d=4)
+    got_w = {r["key"]: r["cm_est"] for r in cm_estimate(probe, wide, "key").collect()}
+    assert got_w == dict(truth)
+
+
+def test_cm_merge_equals_union_build(spark):
+    from turboxsl_spark.operators.sketches import cm_build, cm_merge
+
+    a = [f"a{i % 7}" for i in range(60)]
+    b = [f"b{i % 5}" for i in range(40)] + [f"a{i % 3}" for i in range(20)]
+    df_a = spark.createDataFrame([(s,) for s in a], "key string")
+    df_b = spark.createDataFrame([(s,) for s in b], "key string")
+    df_ab = spark.createDataFrame([(s,) for s in a + b], "key string")
+    assert cm_merge(
+        cm_build(df_a, "key", w=32, d=3), cm_build(df_b, "key", w=32, d=3)
+    ) == cm_build(df_ab, "key", w=32, d=3)
+
+
+def test_cm_estimate_is_map_only(spark):
+    from turboxsl_spark.operators.sketches import cm_build, cm_estimate
+
+    df = spark.createDataFrame([(f"k{i % 5}",) for i in range(30)], "key string")
+    sketch = cm_build(df, "key", w=32, d=3)
+    plan = cm_estimate(df, sketch, "key")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cm_validation(spark):
+    from turboxsl_spark.operators.sketches import cm_build, cm_merge
+
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS key")
+    with pytest.raises(ValueError):
+        cm_build(df, "key", w=0, d=3)
+    with pytest.raises(ValueError):
+        cm_build(df, "key", w=32, d=0)
+    with pytest.raises(ValueError):
+        cm_merge([[0] * 4], [[0] * 8])

@@ -271,3 +271,110 @@ def bloom_probe_join(
         ).alias(out)
     )
     return df.join(per_key, keys, "left")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+#
+# The FREQUENCY member of the sketch family (KMV = distinct counts,
+# Bloom = membership, CM = occurrence counts): d rows of w counters;
+# every key occurrence increments counter (j, (h1 + j*h2) mod w) in
+# each row j; the estimate is the MIN over rows. Estimates never
+# undercount; they overcount by at most eps*N (eps ~ e/w) with
+# probability 1 - delta (delta ~ e^-d) — Cormode & Muthukrishnan 2005.
+# Merging = elementwise counter ADDITION, so shards/days compose like
+# the other sketches. Same md5 double hashing → any engine reproduces
+# every counter and every estimate exactly.
+
+
+def cm_positions(
+    key_cols: Sequence[Column | str], w: int, d: int, salt: str = ""
+) -> Column:
+    """``array<long>`` of the key's column index in each of the d rows:
+    idx_j = (h1 + j*h2) mod w (the Bloom/minhash double-hash family)."""
+    h1, h2 = _bloom_h12(key_cols, salt)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda j: (h1 + j.cast("long") * h2) % w,
+    )
+
+
+def _validate_wd(w: int, d: int) -> None:
+    if w < 1:
+        raise ValueError(f"w must be positive, got {w}")
+    if not 1 <= d < 64:
+        raise ValueError(f"d must be in [1, 64), got {d}")
+
+
+def cm_build_df(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    w: int,
+    d: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Distributed Count-Min build → SPARSE counter table ``(row int,
+    idx int, cnt long)``, one row per non-zero counter (≤ w·d rows
+    regardless of input size; each input ROW is one occurrence).
+
+    Scale shape: d exploded rows per occurrence, ONE map-side-combined
+    count aggregation on (row, idx). Merge two sketches over the same
+    (w, d, salt) by unioning the sparse tables and summing ``cnt``."""
+    _validate_wd(w, d)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    pos = df.select(
+        F.posexplode(cm_positions(keys, w, d, salt)).alias("row", "_idx")
+    )
+    return (
+        pos.groupBy(F.col("row").cast("int").alias("row"), F.col("_idx").cast("int").alias("idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_build(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    w: int,
+    d: int = 4,
+    salt: str = "",
+) -> list[list[int]]:
+    """Distributed build → DENSE d×w counter matrix on the driver (the
+    collect is bounded by w·d — sketch PARAMETERS, never the data)."""
+    sparse = cm_build_df(df, key_cols, w, d, salt).collect()
+    counters = [[0] * w for _ in range(d)]
+    for r in sparse:
+        counters[r["row"]][r["idx"]] = r["cnt"]
+    return counters
+
+
+def cm_merge(a: list[list[int]], b: list[list[int]]) -> list[list[int]]:
+    """Elementwise-sum merge of two dense sketches with identical
+    (w, d, salt)."""
+    if len(a) != len(b) or any(len(x) != len(y) for x, y in zip(a, b)):
+        raise ValueError("sketch shapes differ")
+    return [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)]
+
+
+def cm_estimate(
+    df: DataFrame,
+    counters: list[list[int]],
+    key_cols: str | Sequence[str],
+    salt: str = "",
+    out: str = "cm_est",
+) -> DataFrame:
+    """MAP-ONLY frequency estimate against a dense sketch: the d×w
+    matrix becomes one plan-time array-of-array literal, the estimate
+    is ``array_min`` over the d looked-up counters — zero shuffles,
+    zero Python. Never underestimates the true occurrence count."""
+    d = len(counters)
+    w = len(counters[0]) if d else 0
+    _validate_wd(w, d)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    lit = F.lit([[int(c) for c in row] for row in counters])
+    pos = cm_positions(keys, w, d, salt)
+    ests = F.transform(
+        pos,
+        lambda p, j: F.element_at(F.element_at(lit, j.cast("int") + 1), p.cast("int") + 1),
+    )
+    return df.withColumn(out, F.array_min(ests).cast("long"))
