@@ -356,6 +356,15 @@ def main() -> None:
 
     spark = get_spark("bench", cores=args.cores)
     _warm_session(spark)
+    # FIXTURE prep, same status as .bench_data: q_embedding_near_dup's
+    # planted-twin corpus is a one-time test input materialized to a
+    # stable scratch parquet — build it here so measured passes time
+    # the OPERATOR, not fixture generation (first-ever pass otherwise
+    # pays the codegen-heavy planting once and skews the median)
+    if hasattr(entrymod, "_planted_embeddings"):
+        entrymod._planted_embeddings(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
     # INTERLEAVED repeats (A,B,C,…,A,B,C,…): per-query medians across
     # full passes, so a slow-host epoch hits one PASS of every query
     # instead of one query's only sample — round-over-round per-query

@@ -493,3 +493,67 @@ def test_streaming_asof_equal_ts_spine_strict_vs_inclusive(spark, tmp_path):
     assert len(incl) == 1
     assert bool(incl.loc[0, "late"]) is False
     assert incl.loc[0, "fact_value_asof"] == 1.0
+
+
+def test_streaming_kmv_matches_batch(spark, tmp_path):
+    """The streamed KMV summary after the FINAL micro-batch must equal
+    the batch kmv_distinct of the full data, and every intermediate
+    emission must equal the batch sketch of its prefix — min-k is
+    mergeable, so state-carried accumulation is exact, not
+    approximate-on-top-of-approximate."""
+    import numpy as np
+
+    from turboxsl_spark.operators.sketches import kmv_distinct
+    from turboxsl_spark.streaming.sketches import run_kmv_stream_from_dir
+
+    rng = np.random.default_rng(11)
+    langs = ["en", "ru", "de"]
+    pdf = pd.DataFrame(
+        {
+            "lang": [langs[i % 3] for i in range(600)],
+            "doc_id": rng.integers(0, 5000, 600),
+        }
+    )
+    src = str(tmp_path / "kmv_src")
+    os.makedirs(src)
+    n_files = 4
+    bounds = [int(len(pdf) * i / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+            f"{src}/part-{i:02d}.parquet", index=False
+        )
+
+    got = run_kmv_stream_from_dir(
+        spark, src, "lang string, doc_id long", "lang", "doc_id",
+        k=32, salt="skmv", query_name="kmv_t1",
+    ).toPandas()
+
+    # final emission per group == batch sketch of everything
+    final = (
+        got.sort_values("seq").groupby("grp").tail(1).set_index("grp")
+    )
+    full = spark.createDataFrame(pdf, "lang string, doc_id long")
+    want = {
+        r["lang"]: (r["n_kept"], r["kth_hash"], r["distinct_est"])
+        for r in kmv_distinct(full, "lang", "doc_id", k=32, salt="skmv").collect()
+    }
+    assert set(final.index) == set(want)
+    for g, (nk, kh, est) in want.items():
+        row = final.loc[g]
+        assert (row["n_kept"], row["kth_hash"]) == (nk, kh), g
+        assert row["distinct_est"] == est, g
+
+    # every intermediate emission == batch sketch of its file prefix
+    for upto in range(1, n_files):
+        prefix = spark.createDataFrame(
+            pdf.iloc[: bounds[upto + 1]], "lang string, doc_id long"
+        )
+        wantp = {
+            r["lang"]: (r["n_kept"], r["kth_hash"])
+            for r in kmv_distinct(prefix, "lang", "doc_id", k=32, salt="skmv").collect()
+        }
+        gotp = got[got["seq"] == upto + 1].set_index("grp")
+        for g in gotp.index:
+            assert (gotp.loc[g, "n_kept"], gotp.loc[g, "kth_hash"]) == wantp[g], (
+                upto, g,
+            )
