@@ -1030,10 +1030,14 @@ def q_cm_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok")).where(
         F.length("tok") > 0
     )
-    sketch = cm_build(toks, "tok", w=512, d=4, salt="cm_v1")
+    # ONE pass over the occurrences: the exact per-token rollup is
+    # needed for the output anyway, so the sketch builds WEIGHTED from
+    # (tok, count) — |vocab|·d exploded rows instead of |occurrences|·d
+    # (identical counters; the pre-aggregated form is the 100-TB shape)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = cm_build(exact, "tok", w=512, d=4, salt="cm_v1", weight_col="exact_cnt")
     probe = toks.where(F.col("doc_id") % 97 == 0).select("tok").distinct()
     est = cm_estimate(probe, sketch, "tok", salt="cm_v1")
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return est.join(exact, "tok").select("tok", "cm_est", "exact_cnt").orderBy("tok")
 
 

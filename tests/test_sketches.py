@@ -271,3 +271,19 @@ def test_cm_validation(spark):
         cm_build(df, "key", w=32, d=0)
     with pytest.raises(ValueError):
         cm_merge([[0] * 4], [[0] * 8])
+
+
+def test_cm_weighted_build_equals_occurrence_build(spark):
+    """Pre-aggregated (key, count) sketching must produce the IDENTICAL
+    counter matrix as per-occurrence sketching — the weighted form is
+    the scale path when the exact rollup exists anyway."""
+    from pyspark.sql import functions as F
+
+    from turboxsl_spark.operators.sketches import cm_build
+
+    occ = [f"q{i % 13}" for i in range(300)] + ["solo"]
+    df = spark.createDataFrame([(s,) for s in occ], "key string")
+    agg = df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    assert cm_build(df, "key", w=64, d=4, salt="wv") == cm_build(
+        agg, "key", w=64, d=4, salt="wv", weight_col="n"
+    )

@@ -313,22 +313,31 @@ def cm_build_df(
     w: int,
     d: int = 4,
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Distributed Count-Min build → SPARSE counter table ``(row int,
     idx int, cnt long)``, one row per non-zero counter (≤ w·d rows
-    regardless of input size; each input ROW is one occurrence).
+    regardless of input size).
 
-    Scale shape: d exploded rows per occurrence, ONE map-side-combined
-    count aggregation on (row, idx). Merge two sketches over the same
-    (w, d, salt) by unioning the sparse tables and summing ``cnt``."""
+    Without ``weight_col`` each input ROW is one occurrence (d exploded
+    rows per occurrence, ONE map-side-combined count aggregation).
+    With ``weight_col`` each row contributes that many occurrences —
+    the PRE-AGGREGATED build: when the caller already holds
+    (key, count), sketching the counts explodes only |distinct keys|·d
+    rows instead of |occurrences|·d, the right shape when the exact
+    per-key rollup is being computed anyway. Both forms produce the
+    IDENTICAL sketch. Merge two sketches over the same (w, d, salt) by
+    unioning the sparse tables and summing ``cnt``."""
     _validate_wd(w, d)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     pos = df.select(
-        F.posexplode(cm_positions(keys, w, d, salt)).alias("row", "_idx")
+        F.posexplode(cm_positions(keys, w, d, salt)).alias("row", "_idx"),
+        *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
     )
+    agg = F.sum("_w").cast("long") if weight_col else F.count(F.lit(1))
     return (
         pos.groupBy(F.col("row").cast("int").alias("row"), F.col("_idx").cast("int").alias("idx"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg.alias("cnt"))
     )
 
 
@@ -338,10 +347,11 @@ def cm_build(
     w: int,
     d: int = 4,
     salt: str = "",
+    weight_col: str | None = None,
 ) -> list[list[int]]:
     """Distributed build → DENSE d×w counter matrix on the driver (the
     collect is bounded by w·d — sketch PARAMETERS, never the data)."""
-    sparse = cm_build_df(df, key_cols, w, d, salt).collect()
+    sparse = cm_build_df(df, key_cols, w, d, salt, weight_col).collect()
     counters = [[0] * w for _ in range(d)]
     for r in sparse:
         counters[r["row"]][r["idx"]] = r["cnt"]
