@@ -414,8 +414,11 @@ def main() -> None:
         # doesn't hinge on one host-weather-sensitive configuration.
         result["scaling"] = scaling
         result["scaling_8_32"] = scaling_8_32
-
-    _write_bench_md(result, sf_name)
+        # BENCH.md is the committed scaling-evidence artifact: only a
+        # FULL run (which measured scaling) may rewrite it — a
+        # --skip-scaling iteration run would otherwise silently drop
+        # the scaling sections from the committed file
+        _write_bench_md(result, sf_name)
     print(json.dumps(result))
 
 

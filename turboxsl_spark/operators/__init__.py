@@ -14,7 +14,18 @@ from turboxsl_spark.operators.sampling import (
     mix_resample,
 )
 from turboxsl_spark.operators.packing import pack_fixed_boundary, pack_greedy
-from turboxsl_spark.operators.sketches import kmv_distinct
+from turboxsl_spark.operators.sketches import (
+    bloom_build,
+    bloom_build_df,
+    bloom_merge,
+    bloom_probe,
+    bloom_probe_join,
+    cm_build,
+    cm_build_df,
+    cm_estimate,
+    cm_merge,
+    kmv_distinct,
+)
 from turboxsl_spark.operators.rank import caseorder_keys, exact_quantiles, global_rank, global_topk
 
 __all__ = [
@@ -32,6 +43,15 @@ __all__ = [
     "pack_fixed_boundary",
     "pack_greedy",
     "kmv_distinct",
+    "bloom_build",
+    "bloom_build_df",
+    "bloom_merge",
+    "bloom_probe",
+    "bloom_probe_join",
+    "cm_build",
+    "cm_build_df",
+    "cm_estimate",
+    "cm_merge",
     "caseorder_keys",
     "exact_quantiles",
     "global_rank",
