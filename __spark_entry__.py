@@ -954,7 +954,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
 
     planted = _planted_embeddings(spark, sf_dir)
-    pairs = embedding_near_dup_pairs(planted, threshold=0.95, nbits=16, bands=4, dim=64)
+    # 6-bit band keys x 6 bands (nbits=36): 64 buckets per band cuts
+    # the bucket self-join fan-out ~2.7x vs the old 16/4 point, and SIX
+    # bands make the OR-construction robust to the worst planted twin
+    # (cos .9972 -> per-band match .865, all-six-bands-miss ~6e-6 - the 24/4
+    # point deterministically missed exactly that pair). Measured
+    # recall 1.0, asserted per-run by tests/test_entry_near_dup.py
+    pairs = embedding_near_dup_pairs(planted, threshold=0.95, nbits=36, bands=6, dim=64)
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("id_a", "id_b")
@@ -1769,8 +1775,8 @@ def _ann_ivf_oracle(
 
 
 def _embedding_near_dup_oracle(
-    nbits: int = 16,
-    bands: int = 4,
+    nbits: int = 36,
+    bands: int = 6,
     seed: int = 7,
     dim: int = _EMB_DIM,
     threshold: float = 0.95,
