@@ -1183,16 +1183,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode: REAL in-container PNG/WAV kernels (stdlib
-    zlib/wave + numpy, operators/codecs.py) featurize image+audio rows
-    via mapInPandas; video rows take the documented fake stand-in (no
-    stdlib mp4 demuxer). Rows-only; kernels pinned in tests."""
+    """Multimodal decode: REAL in-container kernels for ALL THREE kinds
+    (stdlib-only, operators/codecs.py) via mapInPandas — PNG pixel
+    decode, WAV sample decode, and MP4 container demux (box walk →
+    dimensions/duration/frame-count/mdat statistics; frame-PIXEL decode
+    stays the documented ffmpeg plug point). Rows-only; kernels pinned
+    in tests."""
     from turboxsl_spark.operators.multimodal import extract_features, gen_media
 
     media = gen_media(spark, n=48, seed=7)
-    real = extract_features(media.where(F.col("kind") != "video"), decoder="real")
-    fake = extract_features(media.where(F.col("kind") == "video"), decoder="fake")
-    out = real.unionByName(fake)
+    out = extract_features(media, decoder="real")
     return out.select(
         "media_id",
         "kind",
@@ -1205,23 +1205,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal header validation, oracle-checked as an INVARIANT:
-    width/height (PNG IHDR, big-endian at fixed offsets) and
-    sample_rate/channels/bits (WAV fmt chunk, little-endian) are
-    decoded from the raw payload BYTES with pure JVM expressions
-    (functions/binary_meta.py — no Python, no kernels) and compared to
-    the recorded meta struct. The oracle states the expected outcome
-    (every image/audio row's header matches its meta; video rows have
-    no parseable header → NULL): any decode/layout bug flips hdr_ok
-    and fails the value hash. The payload bytes themselves are
-    generated in-engine, so a literal byte-level DuckDB replay is not
-    possible — this invariant form is the strongest oracle available
-    for generated binary columns."""
-    from turboxsl_spark.functions.binary_meta import png_meta, wav_meta
+    width/height (PNG IHDR, big-endian at fixed offsets),
+    sample_rate/channels/bits (WAV fmt chunk, little-endian), and
+    width/height/frame-count (MP4 stub layout — mvhd/tkhd/stsz at the
+    writer's constant offsets) are decoded from the raw payload BYTES
+    with pure JVM expressions (functions/binary_meta.py — no Python,
+    no kernels) and compared to the recorded meta struct. The oracle
+    states the expected outcome (every row's header matches its meta):
+    any decode/layout bug flips hdr_ok and fails the value hash. The
+    payload bytes themselves are generated in-engine, so a literal
+    byte-level DuckDB replay is not possible — this invariant form is
+    the strongest oracle available for generated binary columns."""
+    from turboxsl_spark.functions.binary_meta import mp4_meta, png_meta, wav_meta
     from turboxsl_spark.operators.multimodal import gen_media
 
     media = gen_media(spark, n=48, seed=7)
     pm = png_meta(F.col("payload"))
     wm = wav_meta(F.col("payload"))
+    mm = mp4_meta(F.col("payload"))
     hdr_ok = (
         F.when(
             F.col("kind") == "image",
@@ -1235,7 +1236,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (wm["channels"] == 1)
             & (wm["bits_per_sample"] == 16),
         )
-        .otherwise(F.lit(None).cast("boolean"))
+        .otherwise(
+            (mm["width"] == F.col("meta.width"))
+            & (mm["height"] == F.col("meta.height"))
+            & (mm["n_frames"] == F.col("meta.n_frames"))
+            & (mm["timescale"] == 600),
+        )
     )
     return media.select("media_id", "kind", hdr_ok.alias("hdr_ok"))
 
@@ -2136,11 +2142,14 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM c
         """,
         "multimodal_meta": """
+            -- invariant oracle: EVERY row's JVM-decoded header (PNG
+            -- IHDR / WAV fmt / MP4 stub-layout boxes) must match its
+            -- recorded meta struct
             SELECT CAST(media_id AS BIGINT) AS media_id,
                    CASE media_id % 3 WHEN 0 THEN 'image'
                                      WHEN 1 THEN 'audio'
                                      ELSE 'video' END AS kind,
-                   CASE WHEN media_id % 3 < 2 THEN true ELSE NULL END AS hdr_ok
+                   true AS hdr_ok
             FROM range(0, 48) t(media_id)
         """,
         "corpus_pipeline": """

@@ -86,9 +86,54 @@ def test_real_decode_features_match_payload(spark, media):
             assert abs(f[4:].sum() - 1.0) < 1e-5
 
 
-def test_real_video_decode_is_explicit_stub(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|demuxer"):
-        extract_features(media.where("kind = 'video'"), decoder="real").collect()
+def test_real_video_decode_demuxes_container(spark, media):
+    """Video rows now get a GENUINE ISO-BMFF container demux: the
+    feature head must reproduce the recorded meta (dimensions, frame
+    count) and the mdat byte statistics — only frame-PIXEL decode
+    remains the documented external plug."""
+    rows = (
+        extract_features(media.where("kind = 'video'"), decoder="real")
+        .join(media.select("media_id", "meta", "payload"), "media_id")
+        .collect()
+    )
+    assert rows
+    from turboxsl_spark.operators.codecs import parse_mp4_meta
+
+    for r in rows:
+        f = np.array(r["features"])
+        meta = r["meta"]
+        assert abs(f[0] - min(meta["width"] / 4096.0, 1.0)) < 1e-6
+        assert abs(f[1] - min(meta["height"] / 4096.0, 1.0)) < 1e-6
+        assert abs(f[2] - min(meta["n_frames"] / 300.0, 1.0)) < 1e-6
+        m = parse_mp4_meta(bytes(r["payload"]))
+        assert (m["width"], m["height"], m["n_frames"]) == (
+            meta["width"], meta["height"], meta["n_frames"]
+        )
+        assert abs(f[3] - min(m["duration_s"] / 60.0, 1.0)) < 1e-6
+        assert f[5] > 0  # mdat byte mean of seeded bytes
+
+
+def test_mp4_stub_roundtrip_and_box_walk():
+    """encode_mp4_stub → parse_mp4_meta roundtrip, including the
+    box-walk generality: an extra unknown box and a free box before
+    moov must not derail parsing."""
+    import struct
+
+    from turboxsl_spark.operators.codecs import encode_mp4_stub, parse_mp4_meta
+
+    b = encode_mp4_stub(1280, 720, 150, fps=25, mdat=b"\xab" * 512)
+    m = parse_mp4_meta(b)
+    assert (m["width"], m["height"], m["n_frames"], m["mdat_bytes"]) == (
+        1280, 720, 150, 512
+    )
+    assert abs(m["duration_s"] - 6.0) < 1e-9 and m["brand"] == "isom"
+    # splice an unknown box between ftyp and moov — general walk skips it
+    ftyp, rest = b[:20], b[20:]
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    m2 = parse_mp4_meta(ftyp + free + rest)
+    assert (m2["width"], m2["n_frames"]) == (1280, 150)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00" * 64)
 
 
 @pytest.mark.parametrize("decoder", ["fake", "real"])
@@ -203,10 +248,9 @@ def test_multimodal_meta_query_invariant(spark):
     out = m.q_multimodal_meta(spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 48
     for r in out:
-        if r["kind"] == "video":
-            assert r["hdr_ok"] is None
-        else:
-            assert r["hdr_ok"] is True
+        # ALL kinds now JVM-header-validate: PNG IHDR, WAV fmt, and the
+        # MP4 stub layout (mvhd/tkhd/stsz at the writer's offsets)
+        assert r["hdr_ok"] is True, (r["media_id"], r["kind"])
 
 
 def test_binary_meta_overflow_guard(spark):

@@ -101,3 +101,42 @@ def wav_meta(p: Column | str) -> Column:
         _le_uint(p, 35, 2).alias("bits_per_sample"),
     )
     return F.when(is_wav(p), meta)
+
+
+# MP4 stub layout (operators/codecs.encode_mp4_stub writes constant box
+# sizes): 0-based type-field offsets ftyp@4 moov@24 mvhd@32 tkhd@148
+# stsz@296. The general variable-layout demuxer is the Python box walk
+# (codecs.parse_mp4_meta); this JVM twin decodes the ENGINE-WRITTEN
+# fixed layout with pure Catalyst expressions — header-validation of
+# generated containers without a Python worker in the plan.
+_FTYP_HEX = "66747970"  # "ftyp"
+_MOOV_HEX = "6D6F6F76"  # "moov"
+_MVHD_HEX = "6D766864"  # "mvhd"
+_TKHD_HEX = "746B6864"  # "tkhd"
+_STSZ_HEX = "7374737A"  # "stsz"
+
+
+def is_mp4_stub(p: Column | str) -> Column:
+    p = F.col(p) if isinstance(p, str) else p
+    return (
+        (F.hex(F.substring(p, 5, 4)) == _FTYP_HEX)
+        & (F.hex(F.substring(p, 25, 4)) == _MOOV_HEX)
+        & (F.hex(F.substring(p, 33, 4)) == _MVHD_HEX)
+        & (F.hex(F.substring(p, 149, 4)) == _TKHD_HEX)
+        & (F.hex(F.substring(p, 297, 4)) == _STSZ_HEX)
+    )
+
+
+def mp4_meta(p: Column | str) -> Column:
+    """(width, height, n_frames, timescale, duration_units) struct from
+    the fixed stub layout; NULL for anything else. tkhd width/height
+    are 16.16 fixed point — the high 16 bits are the integer part."""
+    p = F.col(p) if isinstance(p, str) else p
+    meta = F.struct(
+        _guard_int(F.conv(F.hex(F.substring(p, 229, 2)), 16, 10).cast("long")).alias("width"),
+        _guard_int(F.conv(F.hex(F.substring(p, 233, 2)), 16, 10).cast("long")).alias("height"),
+        _be_u32(p, 309).alias("n_frames"),
+        _be_u32(p, 49).alias("timescale"),
+        _be_u32(p, 53).alias("duration_units"),
+    )
+    return F.when(is_mp4_stub(p), meta)

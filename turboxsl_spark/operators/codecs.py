@@ -207,3 +207,130 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         frames = wf.readframes(wf.getnframes())
     a = np.frombuffer(frames, dtype=np.int16).reshape(-1, ch)
     return a, sr
+
+
+# ---------------------------------------------------------------------------
+# MP4 container (ISO BMFF) — metadata-level codec
+# ---------------------------------------------------------------------------
+#
+# A minimal but STRUCTURALLY VALID ISO base-media container: ftyp +
+# moov(mvhd + trak(tkhd + mdia(mdhd + minf(stbl(stsz))))) + mdat, all
+# version-0 full boxes, moov before mdat. The sample payload (mdat) is
+# opaque — there is no stdlib video codec, and none is pretended: what
+# IS real is the container layer, which is what a corpus pipeline needs
+# for metadata extraction, validation, and routing. Frame-pixel decode
+# remains the documented external plug (ffmpeg/pyav) in
+# operators/multimodal.py.
+#
+# The writer emits a FIXED layout (constant box sizes, fields at
+# constant offsets), which lets functions/binary_meta.py decode the
+# same fields with pure JVM expressions; the PARSER below is a general
+# box walker (any box order/extra boxes), not tied to that layout.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def encode_mp4_stub(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int = 30,
+    mdat: bytes = b"",
+    timescale: int = 600,
+) -> bytes:
+    """Fixed-layout stub MP4: real box tree, opaque sample data.
+
+    Duration is ``n_frames / fps`` in mvhd/mdhd units of ``timescale``;
+    tkhd carries width/height as 16.16 fixed point; stsz carries the
+    sample (frame) count with sample_size=0 (per-sample sizes omitted —
+    there are no real samples)."""
+    dur = int(round(n_frames * timescale / fps))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)  # ver/flags, c/m times, scale, dur
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)    # rate, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)  # matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)            # pre_defined
+        + struct.pack(">I", 2),                           # next_track_id
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)            # ver/flags, c/m, track_id, reserved
+        + struct.pack(">I8x", dur)                        # duration, reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)                # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, n_frames))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """General ISO-BMFF box walk → container metadata dict with keys
+    ``brand, timescale, duration_units, duration_s, width, height,
+    n_frames, mdat_bytes``. Raises ValueError on a non-MP4 payload.
+    Walks ANY box order (not just the stub writer's fixed layout);
+    64-bit largesize boxes are handled; unknown boxes are skipped."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp box)")
+    out = {
+        "brand": data[8:12].decode("latin1"),
+        "timescale": None, "duration_units": None, "duration_s": None,
+        "width": None, "height": None, "n_frames": None, "mdat_bytes": None,
+    }
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            typ = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                body = pos + 16
+            elif size == 0:  # box extends to end
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError(f"corrupt box {typ!r} at {pos}")
+            if typ in _MP4_CONTAINERS:
+                walk(body, pos + size)
+            elif typ == b"mvhd":
+                ver = data[body]
+                o = body + 4 + (16 if ver == 1 else 8)
+                ts = struct.unpack(">I", data[o : o + 4])[0]
+                dur = (
+                    struct.unpack(">Q", data[o + 4 : o + 12])[0]
+                    if ver == 1
+                    else struct.unpack(">I", data[o + 4 : o + 8])[0]
+                )
+                out["timescale"], out["duration_units"] = ts, dur
+                out["duration_s"] = dur / ts if ts else None
+            elif typ == b"tkhd":
+                ver = data[body]
+                w_off = pos + size - 8
+                w16, h16 = struct.unpack(">II", data[w_off : w_off + 8])
+                out["width"], out["height"] = w16 >> 16, h16 >> 16
+            elif typ == b"stsz":
+                out["n_frames"] = struct.unpack(
+                    ">I", data[body + 8 : body + 12]
+                )[0]
+            elif typ == b"mdat":
+                out["mdat_bytes"] = size - (body - pos)
+            pos += size
+
+    walk(0, len(data))
+    return out

@@ -6,16 +6,20 @@ structs. Decode kernels:
 
   ``decoder="real"``  GENUINE in-container for PNG images and WAV audio
                       via ``operators.codecs`` (pure stdlib zlib/wave +
-                      numpy — no PIL/ffmpeg needed). Video (mp4) raises
-                      NotImplementedError at the exact plug point: no
-                      stdlib demuxer exists; an ffmpeg call goes there.
+                      numpy — no PIL/ffmpeg needed). Video (mp4) gets a
+                      GENUINE container demux (``codecs.parse_mp4_meta``
+                      ISO-BMFF box walk → dimensions, duration, frame
+                      count, sample-payload statistics); frame-PIXEL
+                      decode needs a codec no stdlib provides — the
+                      ffmpeg/pyav plug point is documented in
+                      ``_real_video_features``.
   ``decoder="fake"``  deterministic feature vector from the raw bytes —
-                      kind-agnostic, useful for plumbing tests and as
-                      the video stand-in.
+                      kind-agnostic, useful for plumbing tests.
 
 ``gen_media`` emits REAL payloads (valid PNGs with cycling scanline
-filters, valid 16-bit WAVs) so the real kernels are exercised
-end-to-end; meta width/height/sample_rate describe the actual payload.
+filters, valid 16-bit WAVs, structurally valid MP4 box trees with
+opaque sample data) so the real kernels are exercised end-to-end; meta
+width/height/sample_rate/n_frames describe the actual payload.
 """
 
 from __future__ import annotations
@@ -107,13 +111,21 @@ def gen_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             meta = {"width": None, "height": None, "sample_rate": sr,
                     "n_frames": None, "mime": "audio/wav"}
         else:
-            payload = rng.integers(
+            w = int(rng.integers(16, 1024))
+            h = int(rng.integers(16, 1024))
+            nf = int(rng.integers(1, 300))
+            mdat = rng.integers(
                 0, 256, int(rng.integers(64, 4096)), dtype=np.uint8
             ).tobytes()
-            meta = {"width": int(rng.integers(16, 1024)),
-                    "height": int(rng.integers(16, 1024)),
+            # REAL ISO-BMFF container (ftyp/moov/trak/mdat box tree with
+            # true dimensions and frame count); the mdat sample payload
+            # is opaque seeded bytes — the codec layer is the honest
+            # stub, the container layer is genuine and demuxable
+            payload = codecs.encode_mp4_stub(w, h, nf, fps=30, mdat=mdat)
+            meta = {"width": w,
+                    "height": h,
                     "sample_rate": None,
-                    "n_frames": int(rng.integers(1, 300)),
+                    "n_frames": nf,
                     "mime": "video/mp4"}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
@@ -167,6 +179,32 @@ def _real_audio_features(payload: bytes) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _real_video_features(payload: bytes) -> np.ndarray:
+    """Genuine MP4 container demux (``codecs.parse_mp4_meta`` box walk)
+    → 16 floats: [w/4096, h/4096, n_frames/300, duration_s/60,
+    mdat_bytes/1e6, mdat byte mean/255, mdat byte std/255, zeros...].
+
+    This is CONTAINER-level featurization — dimensions, duration, frame
+    count, sample-payload statistics. Decoding actual frame PIXELS
+    requires a codec (H.264 etc.) that no stdlib provides; plug an
+    ffmpeg/pyav frame-decode call in here to extend the feature tail.
+    """
+    m = codecs.parse_mp4_meta(bytes(payload))
+    tree = np.frombuffer(bytes(payload), dtype=np.uint8)
+    mdat = tree[-m["mdat_bytes"]:] if m["mdat_bytes"] else np.zeros(1, np.uint8)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[:7] = [
+        min((m["width"] or 0) / 4096.0, 1.0),
+        min((m["height"] or 0) / 4096.0, 1.0),
+        min((m["n_frames"] or 0) / 300.0, 1.0),
+        min((m["duration_s"] or 0.0) / 60.0, 1.0),
+        min((m["mdat_bytes"] or 0) / 1e6, 1.0),
+        float(mdat.mean()) / 255.0,
+        float(mdat.std()) / 255.0,
+    ]
+    return out
+
+
 def _real_decode(payload: bytes, kind: str) -> np.ndarray:
     if payload is None:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
@@ -174,10 +212,7 @@ def _real_decode(payload: bytes, kind: str) -> np.ndarray:
         return _real_image_features(payload)
     if kind == "audio":
         return _real_audio_features(payload)
-    raise NotImplementedError(
-        "real video decode needs a demuxer (no stdlib mp4 support); "
-        "plug an ffmpeg/pyav frame-decode call in here"
-    )
+    return _real_video_features(payload)
 
 
 def extract_features(
@@ -190,9 +225,9 @@ def extract_features(
     for the similarity operators (``operators.similarity``).
 
     ``decoder="real"`` genuinely decodes PNG/WAV payloads in-container
-    (``operators.codecs``); video rows raise NotImplementedError at the
-    demuxer plug point — filter them JVM-side or route them through
-    ``decoder="fake"``.
+    and demuxes MP4 containers (``operators.codecs``); video features
+    are container-level (frame-pixel decode is the documented
+    ffmpeg/pyav plug point in ``_real_video_features``).
     """
     kernel = _real_decode if decoder == "real" else _fake_decode
 
