@@ -76,9 +76,16 @@ def main(names: list[str] | None = None) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = names or list(qs)
+    all_names = list(qs)
+    names = names or all_names
     failures = 0
     for name in names:
+        # the driver's correctness gate records only the FIRST 50
+        # queries() entries (discovered r04) — surface the cutoff so
+        # nobody mistakes a local-replica OK for a driver attestation
+        if len(all_names) > 50 and name == all_names[50] and names is all_names:
+            print("---- driver gate cutoff: entries below are NOT in "
+                  "CORRECTNESS_r*.json this round (rotate next round) ----")
         fn = qs[name]
         sdf = fn(spark, SF_DIR)
         scols = sdf.columns
