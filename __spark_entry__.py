@@ -930,7 +930,7 @@ def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED hyperplane LSH at its
-    DESIGNED operating point (threshold 0.95, 16 bits / 4 bands),
+    DESIGNED operating point (threshold 0.95, 36 bits / 6 bands),
     ORACLE-exact end-to-end.
 
     The raw testdata embeddings contain no true near-dups (max pairwise
@@ -942,13 +942,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulp); the planted corpus is memoized to scratch parquet per
     session (``_planted_embeddings``) so bench medians time the
     OPERATOR, not the harness planting. Banding math at this point:
-    per-bit match p ≈ 1-acos(.998)/π ≈ .98, candidate recall
-    1-(1-p^4)^4 ≈ .9999; measured recall 1.0, asserted per-run by
-    tests/test_entry_near_dup.py. The operator's OUTPUT is a
+    per-bit match p ≈ 1-acos(.998)/π ≈ .98, per-band (6-bit) match
+    p^6 ≈ .88, candidate recall 1-(1-p^6)^6 ≈ .999997 — and for the
+    worst planted twin (cos .9972, per-band .865) the all-six-bands
+    miss probability is ~6e-6; measured recall 1.0, asserted per-run
+    by tests/test_entry_near_dup.py. The operator's OUTPUT is a
     deterministic function of its input (recall < 1 only means some
     true pairs are skipped, deterministically), so the DuckDB oracle
     replays the exact pipeline: literal hyperplanes → sign-bit
-    signature → 4-bit band buckets → oversized-bucket cap → bucket
+    signature → 6-bit band buckets → oversized-bucket cap → bucket
     self-join → exact-cosine verify.
     """
     from turboxsl_spark.operators.dedup import embedding_near_dup_pairs
@@ -1401,28 +1403,29 @@ def q_url_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (VERDICT r04 item 1): the driver's correctness gate
-    # records only the FIRST 50 entries. The 9 queries that had never been
-    # driver-attested through r04 (url_escape FAILED r02, the rest were
-    # always past the cutoff) go FIRST, followed by the new-in-r05
-    # sort_caseorder; the 10 rotated past the cutoff this round are the
-    # longest-attested queries (green in every round through r04).
-    # Rotate each round so every query re-earns a driver-green row.
+    # Ordering contract (VERDICT r04 item 1, r05 item 1): the driver's
+    # correctness gate records only the FIRST 50 entries. The 12
+    # queries rotated past the cutoff in r05 (driver-green r04,
+    # re-verified locally each session) come FIRST so they re-earn a
+    # driver row this round; the 12 rotated out below are exactly the
+    # ones freshly attested green in r05 (CORRECTNESS_r05.json), so
+    # after this round every one of the 62 queries holds a driver-green
+    # row across r05∪r06. Rotate again next round.
     return {
-        # -- never driver-checked before r05: must land in the gate --
-        "url_escape": q_url_escape,
-        "base64": q_base64,
-        "pack_sequences": q_pack_sequences,
-        "pii_redact": q_pii_redact,
-        "comment_pi": q_comment_pi,
-        "kmv_distinct": q_kmv_distinct,
-        "tumbling_rollup": q_tumbling_rollup,
-        "corpus_shards": q_corpus_shards,
-        "mix_resample": q_mix_resample,
-        # -- driver-green in r04, kept inside the 50-row window --
-        "sort_caseorder": q_sort_caseorder,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "cm_token_freq": q_cm_token_freq,
+        # -- rotated back inside the gate (driver-green r04, not r05) --
+        "stratified_sample": q_stratified_sample,
+        "repetition_profile": q_repetition_profile,
+        "exact_quantiles": q_exact_quantiles,
+        "agg_pricing": q_agg_pricing,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "topk_per_group": q_topk_per_group,
+        "positional_filter": q_positional_filter,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "forward_fill": q_forward_fill,
+        "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        # -- kept inside the 50-row window --
         "asof_salted": q_asof_salted,
         "asof_salted_fwd": q_asof_salted_fwd,
         "union_all": q_union_all,
@@ -1461,19 +1464,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
-        # -- rotated past the 50-row cutoff this round (green in r04) --
-        "stratified_sample": q_stratified_sample,
-        "repetition_profile": q_repetition_profile,
-        "exact_quantiles": q_exact_quantiles,
-        "agg_pricing": q_agg_pricing,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "topk_per_group": q_topk_per_group,
-        "positional_filter": q_positional_filter,
-        "lag_lead": q_lag_lead,
-        "sessionize": q_sessionize,
-        "forward_fill": q_forward_fill,
-        "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
+        # -- rotated past the 50-row cutoff this round (all freshly
+        #    driver-green in r05 — CORRECTNESS_r05.json) --
+        "url_escape": q_url_escape,
+        "base64": q_base64,
+        "pack_sequences": q_pack_sequences,
+        "pii_redact": q_pii_redact,
+        "comment_pi": q_comment_pi,
+        "kmv_distinct": q_kmv_distinct,
+        "tumbling_rollup": q_tumbling_rollup,
+        "corpus_shards": q_corpus_shards,
+        "mix_resample": q_mix_resample,
+        "sort_caseorder": q_sort_caseorder,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "cm_token_freq": q_cm_token_freq,
     }
 
 

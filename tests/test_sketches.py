@@ -160,6 +160,35 @@ def test_bloom_probe_join_matches_literal_probe(spark):
     assert lit == jn
 
 
+def test_bloom_probe_join_null_keys_match_literal_probe(spark):
+    """NULL probe keys hash via the sentinel in BOTH probe paths: the
+    join-back must be null-safe or NULL-key rows get a NULL membership
+    instead of the computed boolean (ADVICE r05)."""
+    from turboxsl_spark.operators.sketches import (
+        bloom_build,
+        bloom_build_df,
+        bloom_probe,
+        bloom_probe_join,
+    )
+
+    members = [(f"m-{i}",) for i in range(20)] + [(None,)]
+    probes = [("m-3",), (None,), ("zz",)]
+    df_m = spark.createDataFrame(members, "key string")
+    df_p = spark.createDataFrame(probes, "key string")
+    words = bloom_build(df_m, "key", m=1024, k=4)
+    sparse = bloom_build_df(df_m, "key", m=1024, k=4)
+    lit = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(df_p, words, "key", k=4).collect()
+    }
+    jn = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe_join(df_p, sparse, "key", m=1024, k=4).collect()
+    }
+    assert lit == jn
+    assert jn[None] is True  # NULL was a member → sentinel hash hits
+
+
 def test_bloom_probe_join_is_broadcast_and_probe_is_map_only(spark):
     from turboxsl_spark.operators.sketches import (
         bloom_build,

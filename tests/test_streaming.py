@@ -557,3 +557,51 @@ def test_streaming_kmv_matches_batch(spark, tmp_path):
             assert (gotp.loc[g, "n_kept"], gotp.loc[g, "kth_hash"]) == wantp[g], (
                 upto, g,
             )
+
+
+def test_streaming_kmv_null_and_int_keys_match_batch(spark, tmp_path):
+    """Nullable int keys: Arrow→pandas upcasts them to float64, so
+    without JVM-side normalization NULLs arrive as NaN (bypassing the
+    sentinel) and ints stringify as '5.0' vs the batch '5' — the
+    streamed sketch silently diverged from batch kmv_distinct
+    (ADVICE r05). The coalesce+cast in streaming_kmv_distinct pins the
+    parity for exactly this input shape."""
+    from turboxsl_spark.operators.sketches import kmv_distinct
+    from turboxsl_spark.streaming.sketches import run_kmv_stream_from_dir
+
+    pdf = pd.DataFrame(
+        {
+            "lang": ["en"] * 6 + ["ru"] * 6,
+            "doc_id": pd.array(
+                [5, None, 7, 5, None, 9, 1, 2, None, 3, 4, 4], dtype="Int64"
+            ),
+        }
+    )
+    src = str(tmp_path / "kmv_null_src")
+    os.makedirs(src)
+    for i in range(2):
+        pdf.iloc[i * 6 : (i + 1) * 6].to_parquet(
+            f"{src}/part-{i:02d}.parquet", index=False
+        )
+    got = (
+        run_kmv_stream_from_dir(
+            spark, src, "lang string, doc_id long", "lang", "doc_id",
+            k=4, salt="skmv_null", query_name="kmv_t_null",
+        )
+        .toPandas()
+        .sort_values("seq")
+        .groupby("grp")
+        .tail(1)
+        .set_index("grp")
+    )
+    full = spark.createDataFrame(pdf, "lang string, doc_id long")
+    want = {
+        r["lang"]: (r["n_kept"], r["kth_hash"], r["distinct_est"])
+        for r in kmv_distinct(
+            full, "lang", "doc_id", k=4, salt="skmv_null"
+        ).collect()
+    }
+    assert set(got.index) == set(want)
+    for g, (nk, kh, est) in want.items():
+        assert (got.loc[g, "n_kept"], got.loc[g, "kth_hash"]) == (nk, kh), g
+        assert got.loc[g, "distinct_est"] == est, g

@@ -1,8 +1,10 @@
-"""Pure-stdlib media codecs: PNG (zlib + numpy (un)filtering) and WAV
-(stdlib ``wave``). These make ``decoder="real"`` genuine in-container
-for ``image/png`` and ``audio/wav`` — no PIL/ffmpeg required. Video
-(mp4) stays an honest ``NotImplementedError``: no stdlib demuxer
-exists.
+"""Pure-stdlib media codecs: PNG (zlib + numpy (un)filtering), WAV
+(stdlib ``wave``), and an ISO-BMFF (mp4) container DEMUXER
+(``parse_mp4_meta`` — generic box walk, 64-bit largesize, any box
+order). These make ``decoder="real"`` genuine in-container for
+``image/png``, ``audio/wav``, and mp4 container structure — no
+PIL/ffmpeg required. Only video frame-PIXEL decode remains an external
+plug point (ffmpeg/pyav; documented in operators/multimodal.py).
 
 Reference parity note: the reference engine never stubs its output
 serializer (``/root/reference/src/output.c:66-175`` is real
@@ -14,6 +16,9 @@ Scope (everything the synthetic media table and tests need):
          encoder CYCLES filter types per row so a round-trip test
          genuinely exercises every decode path.
   WAV  — 16-bit PCM, any channel count / sample rate.
+  MP4  — ISO-BMFF box walk (ftyp/moov/mvhd/trak/tkhd/stsz/mdat):
+         dimensions, duration, frame count, mdat statistics; encoder
+         emits a minimal valid container for round-trip tests.
 
 Everything is per-row numpy; these run inside Arrow-batched
 ``mapInPandas`` workers, one small payload at a time — the distributed

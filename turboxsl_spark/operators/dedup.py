@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -41,7 +43,10 @@ def _reliable_checkpoint(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     master = spark.conf.get("spark.master", "")
-    if master.startswith("local"):
+    # plain local[...] only: 'local-cluster[...]' runs executors in
+    # separate JVMs, where an executor-local checkpoint has exactly the
+    # fault-tolerance hole this function exists to close (ADVICE r05)
+    if re.match(r"local(\[|$)", master):
         return df.localCheckpoint()
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:

@@ -187,20 +187,28 @@ def ivf_topk(
     sample_size: int = 4096,
     seed: int = 7,
     query_assign: str = "pandas",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: trained coarse quantizer, inverted lists.
 
-    Train: a bounded UNIFORM corpus sample (``df.sample`` sized off one
-    count — NOT ``limit()``, which takes the head of the first
-    partitions and would model only one region of a partition-ordered
-    corpus) is collected to the driver and fits k-means centroids;
-    ``n_centroids`` is clamped to the sample size. Index: every corpus
-    vector gets its nearest centroid (the inverted list id) computed
-    FULLY JVM-SIDE (``ivf_assign_jvm`` — centroid literals + codegen
-    dots; corpus embeddings never cross into Python). Search: each
-    query probes its ``nprobe`` nearest lists via the Arrow-matmul
-    pandas path (the query side is tiny); exact cosine inside the
-    probed lists, top-k per query.
+    Train: a bounded training slice is collected to the driver and fits
+    k-means centroids; ``n_centroids`` is clamped to the slice size.
+    By default the slice is ``orderBy(id).limit(sample_size)`` — one
+    ``TakeOrderedAndProject`` job, deterministic on any partition
+    layout, and exactly what the DuckDB-oracle generator replays (the
+    id-sorted head of the corpus). Callers who know the corpus is huge
+    AND partition-ordered by region can pass ``corpus_count`` to switch
+    to a seeded uniform ``df.sample`` instead — that path needs the
+    count to size the fraction, and accepting it from the caller keeps
+    ``ivf_topk`` itself from paying a full ``corpus.count()`` scan
+    before any work (VERDICT r05 item 2: at 100 TB that pre-pass was
+    an extra full pass over the data). Index: every corpus vector gets
+    its nearest centroid (the inverted list id) computed FULLY
+    JVM-SIDE (``ivf_assign_jvm`` — centroid literals + codegen dots;
+    corpus embeddings never cross into Python). Search: each query
+    probes its ``nprobe`` nearest lists via the Arrow-matmul pandas
+    path (the query side is tiny); exact cosine inside the probed
+    lists, top-k per query.
 
     ``query_assign``: "pandas" (default — Arrow matmul, right for big
     probe batches) or "jvm" (centroid-literal fold dots; bit-exactly
@@ -212,18 +220,22 @@ def ivf_topk(
     Scale shape: centroid assignment is map-only; the candidate join is
     an equi-join on the list id; no all-pairs anywhere.
     """
-    n_corpus = corpus.count()
-    if n_corpus == 0:
-        raise ValueError("ivf_topk: empty corpus")
-    frac = min(1.0, (2.0 * sample_size) / n_corpus)
-    if frac >= 1.0:
-        # whole corpus fits the training budget: a fraction-1.0 sample
-        # would return every row anyway — skip it. Order by the id
-        # BEFORE the limit: a bare limit() is only file-order
-        # deterministic on a single-file local read, while orderBy+limit
-        # is a TakeOrderedAndProject — reproducible on any partition
-        # layout, and exactly what the DuckDB-oracle generator replays
-        # (id-sorted head of the corpus)
+    rows = []
+    if corpus_count is not None:
+        if corpus_count == 0:
+            raise ValueError("ivf_topk: empty corpus")
+        frac = min(1.0, (2.0 * sample_size) / corpus_count)
+        if frac < 1.0:
+            rows = (
+                corpus.select(vec_col)
+                .sample(withReplacement=False, fraction=frac, seed=seed)
+                .limit(sample_size)
+                .collect()
+            )
+    if not rows:
+        # default (and fallback for a pathological tiny-fraction draw):
+        # the id-ordered head — a single TakeOrderedAndProject, no
+        # count() pre-pass, reproducible on any partition layout
         rows = (
             corpus.select(corpus_id, vec_col)
             .orderBy(corpus_id)
@@ -231,21 +243,8 @@ def ivf_topk(
             .select(vec_col)
             .collect()
         )
-    else:
-        rows = (
-            corpus.select(vec_col)
-            .sample(withReplacement=False, fraction=frac, seed=seed)
-            .limit(sample_size)
-            .collect()
-        )
-        if not rows:  # pathological tiny-fraction draw — fall back to head
-            rows = (
-                corpus.select(corpus_id, vec_col)
-                .orderBy(corpus_id)
-                .limit(sample_size)
-                .select(vec_col)
-                .collect()
-            )
+    if not rows:
+        raise ValueError("ivf_topk: empty corpus")
     sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     n_centroids = max(1, min(n_centroids, len(sample)))
     cents = _kmeans_centroids(sample, n_centroids, seed)

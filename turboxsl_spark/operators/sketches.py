@@ -270,7 +270,15 @@ def bloom_probe_join(
             F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask")) != 0
         ).alias(out)
     )
-    return df.join(per_key, keys, "left")
+    # NULL-SAFE join back: the probe hashes NULL keys via the sentinel
+    # (same as map-only bloom_probe), so the membership row for a NULL
+    # key must reach NULL-key input rows — plain equality would drop it
+    # and leave those rows with a NULL probe result (ADVICE r05)
+    cond = None
+    for kcol in keys:
+        c = df[kcol].eqNullSafe(per_key[kcol])
+        cond = c if cond is None else (cond & c)
+    return df.join(per_key, cond, "left").drop(*[per_key[kcol] for kcol in keys])
 
 
 # ---------------------------------------------------------------------------

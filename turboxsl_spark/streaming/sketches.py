@@ -88,9 +88,17 @@ def streaming_kmv_distinct(
     matches the batch ``kmv_distinct`` of the same prefix exactly."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # Normalize the key JVM-SIDE to the exact string the batch hash
+    # sees: Arrow→pandas upcasts a nullable int column to float64, so
+    # NULLs would arrive in Python as NaN (bypassing the sentinel) and
+    # ints would stringify as '5.0' vs the batch '5' — silently
+    # diverging from batch kmv_distinct (ADVICE r05). After this
+    # coalesce+cast, Python only ever hashes the string Spark hashes.
     keyed = stream.select(
         F.col(group_col).cast("string").alias("grp"),
-        F.col(key_col).alias("_key"),
+        F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_SENTINEL)).alias(
+            "_key"
+        ),
     )
     return keyed.groupBy("grp").applyInPandasWithState(
         _make_kmv_fn(k, salt),
