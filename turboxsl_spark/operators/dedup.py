@@ -62,6 +62,26 @@ def _reliable_checkpoint(df: DataFrame) -> DataFrame:
     return df.checkpoint()
 
 
+def _checkpoint_if_possible(df: DataFrame) -> DataFrame:
+    """Best-effort eager materialization: like ``_reliable_checkpoint``
+    but FALLS BACK to the unmaterialized lineage (recompute per
+    consumer) when no cluster-visible scratch is configured, instead of
+    raising — for callers where materialization is a pure optimization
+    (compute an expensive projection once) rather than a correctness
+    need (lineage truncation in an iterative loop)."""
+    spark = df.sparkSession
+    master = spark.conf.get("spark.master", "")
+    if re.match(r"local(\[|$)", master):
+        return df.localCheckpoint()
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        base = spark.conf.get(SCRATCH_CONF, None)
+        if not base:
+            return df
+        sc.setCheckpointDir(f"{base.rstrip('/')}/cc_checkpoints")
+    return df.checkpoint()
+
+
 def tokenize(c: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokenization after normalize-space."""
     c = F.col(c) if isinstance(c, str) else c
@@ -552,13 +572,27 @@ def embedding_near_dup_pairs(
     all-identical region): (band, bucket) groups larger than the cap
     are excluded from the self-join, trading recall inside that bucket
     for a hard bound on join fan-out. The oversized keys are found with
-    a map-side-combined ``groupBy(count)`` over just the two key
-    columns and removed via a BROADCAST anti-join — the oversized set
-    is tiny by construction (each key in it holds > max_bucket rows),
-    so this never windows/materializes the exploded table the way a
-    ``count() over (partition by band, bucket)`` would (that window is
-    a full shuffle+sort of the 4x-exploded vectors; measured 1.5x
-    slower at sf0.1).
+    a ``groupBy(count)`` over just the two key columns and removed via
+    a BROADCAST anti-join — the oversized set is tiny by construction
+    (each key in it holds > max_bucket rows), so this never
+    windows/materializes the exploded table the way a ``count() over
+    (partition by band, bucket)`` would (that window is a full
+    shuffle+sort of the exploded vectors; measured 1.5x slower at
+    sf0.1).
+
+    Construction cost note (guide §1, measured r06): the ``nbits``
+    fold-dot signature is built as ONE JVM-parsed SQL expression when
+    ``vec_col`` is a name (``random_hyperplane_bucket``) — the
+    Column-API construction of 36 fold-dots cost ~1.5s of driver time
+    per call, charged to the query by the bench's
+    construction-inclusive timer. Two alternative plan shapes were
+    measured and REJECTED this round (paired A/B, same session):
+    checkpointing the signed base and attaching vectors to candidate
+    pairs by id-keyed joins read 4.31s median vs 3.37s for this shape
+    at sf0.1 — the extra materialization barrier and join stages cost
+    more than the duplicated signature evaluation they remove at any
+    scale where the exploded self-join's broadcast side stays
+    broadcastable.
 
     Shuffles: one (band, bucket) count agg over two small columns, one
     co-partitioned self-join, one pair-dedup aggregation on candidates
@@ -569,7 +603,7 @@ def embedding_near_dup_pairs(
     if nbits % bands != 0:
         raise ValueError(f"nbits={nbits} must be divisible by bands={bands}")
     r = nbits // bands
-    sig = random_hyperplane_bucket(F.col(vec_col), nbits=nbits, seed=seed, dim=dim)
+    sig = random_hyperplane_bucket(vec_col, nbits=nbits, seed=seed, dim=dim)
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
     )

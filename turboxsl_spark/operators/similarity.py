@@ -31,6 +31,27 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_lit_sql(vec: str, values) -> str:
+    """SQL text of ``dot(vec, literal_array)`` — the EXACT expression
+    ``dot(col, F.lit(values))`` builds (sequential fold, per-element
+    double casts), parsed JVM-side in ONE call. Building the same tree
+    through the Python Column API costs dozens of Py4J round-trips per
+    plane; at 36 hyperplanes x 64 dims that was ~1.5s of plan
+    CONSTRUCTION per query (measured r06) — which the bench timer
+    rightly charges to the query. ``repr(float)`` round-trips exactly,
+    so the parsed literals are bit-identical to ``F.lit``'s."""
+    arr = ", ".join(f"{float(x)!r}D" for x in values)
+    return (
+        f"aggregate(zip_with({vec}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def l2norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
@@ -76,16 +97,30 @@ def _hyperplanes(nbits: int, dim: int, seed: int) -> list[list[float]]:
 
 
 def random_hyperplane_bucket(
-    vec: Column, nbits: int = 16, seed: int = 7, dim: int | None = None
+    vec: Column | str, nbits: int = 16, seed: int = 7, dim: int | None = None
 ) -> Column:
     """Sign-bit LSH bucket id: bit i = (vec · plane_i) > 0.
 
     Planes are deterministic (seeded) plan-time literals; the dot
     products run JVM-side. ``dim`` defaults to 64 (the testdata
     embedding width) — pass explicitly for other widths.
+
+    Pass ``vec`` as a COLUMN NAME to build the whole bucket as ONE
+    JVM-parsed SQL expression (identical tree, one Py4J call — the
+    Column-API construction of nbits fold-dots cost ~1.5s of driver
+    time per query at nbits=36, guide §1: construction is part of the
+    measured query). A Column argument falls back to the per-plane
+    Column-API builder (same result).
     """
     dim = dim or 64
     planes = _hyperplanes(nbits, dim, seed)
+    if isinstance(vec, str):
+        v = _sql_ident(vec)
+        terms = [
+            f"(CAST(({_dot_lit_sql(v, p)} > 0.0D) AS BIGINT) * {1 << i}L)"
+            for i, p in enumerate(planes)
+        ]
+        return F.expr("(0L + " + " + ".join(terms) + ")")
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         # one array literal per plane (F.lit on the whole list), not 64
@@ -122,7 +157,7 @@ def _kmeans_centroids(
     return c
 
 
-def ivf_assign_jvm(vec: Column, centroids: np.ndarray) -> Column:
+def ivf_assign_jvm(vec: Column | str, centroids: np.ndarray) -> Column:
     """Nearest-centroid list id, fully JVM-side: each centroid is a
     plan-time literal array (same trick as ``random_hyperplane_bucket``),
     the dots run in codegen, and ``array_max`` over ``(sim, -idx)``
@@ -130,7 +165,16 @@ def ivf_assign_jvm(vec: Column, centroids: np.ndarray) -> Column:
     ``np.argmax``). Used for the CORPUS side of ``ivf_topk`` so corpus
     embeddings never cross the executor↔Python boundary; argmax of the
     dot product is scale-invariant in the vector, so the normalization
-    the pandas path applies is unnecessary here (centroids are unit)."""
+    the pandas path applies is unnecessary here (centroids are unit).
+    A column NAME builds the whole expression in one JVM parse (see
+    ``random_hyperplane_bucket`` — construction cost)."""
+    if isinstance(vec, str):
+        v = _sql_ident(vec)
+        entries = ", ".join(
+            f"struct({_dot_lit_sql(v, c)} AS s, {-i} AS ni)"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(f"CAST(-(array_max(array({entries})).ni) AS INT)")
     entries = []
     for i, c in enumerate(centroids):
         lit = F.lit([float(x) for x in c])  # whole-array literal, one Py4J call
@@ -154,7 +198,9 @@ def _assign_udf(centroids: np.ndarray, nprobe: int):
     return assign
 
 
-def ivf_query_assign_jvm(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
+def ivf_query_assign_jvm(
+    vec: Column | str, centroids: np.ndarray, nprobe: int
+) -> Column:
     """Top-``nprobe`` nearest-centroid list ids, fully JVM-side.
 
     Same centroid-literal trick as ``ivf_assign_jvm``: per-centroid
@@ -164,7 +210,19 @@ def ivf_query_assign_jvm(vec: Column, centroids: np.ndarray, nprobe: int) -> Col
     so the raw vector is used. This is the ENGINE-PORTABLE assignment:
     the sequential fold matches the DuckDB oracle's ``list_reduce``
     replay bit-for-bit, where numpy's blocked matmul (``_assign_udf``)
-    may differ in the last ulp."""
+    may differ in the last ulp. A column NAME builds the whole
+    expression in one JVM parse (construction cost — see
+    ``random_hyperplane_bucket``)."""
+    if isinstance(vec, str):
+        v = _sql_ident(vec)
+        entries = ", ".join(
+            f"struct(-({_dot_lit_sql(v, c)}) AS ns, {i} AS i)"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"transform(slice(sort_array(array({entries})), 1, {nprobe}), "
+            "st -> CAST(st.i AS INT))"
+        )
     entries = []
     for i, c in enumerate(centroids):
         lit = F.lit([float(x) for x in c])  # whole-array literal, one Py4J call
@@ -251,10 +309,10 @@ def ivf_topk(
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
-        ivf_assign_jvm(F.col(vec_col), cents).alias("_list"),
+        ivf_assign_jvm(vec_col, cents).alias("_list"),
     )
     if query_assign == "jvm":
-        q_lists = ivf_query_assign_jvm(F.col(vec_col), cents, nprobe)
+        q_lists = ivf_query_assign_jvm(vec_col, cents, nprobe)
     else:
         q_lists = _assign_udf(cents, nprobe)(F.col(vec_col))
     q = queries.select(
@@ -287,7 +345,7 @@ def lsh_topk(
     query's bucket (recall boost at nbits× extra candidates).
     Returns the same shape as brute_force_topk.
     """
-    b = random_hyperplane_bucket(F.col(vec_col), nbits, seed, dim)
+    b = random_hyperplane_bucket(vec_col, nbits, seed, dim)
     c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"), b.alias("bucket"))
     qb = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"), b.alias("_b0"))
     if multiprobe:
