@@ -206,15 +206,21 @@ def minhash_signatures_md5(
         _hex_long(d, 13, 12).alias("_h2"),
     )
     # NULL shingle (explode_outer of an empty doc) → NULL h1/h2 → NULL
-    # slot → min skips it → COALESCE sentinel, exactly as the xxh path
+    # slot → min skips it → COALESCE sentinel, exactly as the xxh path.
+    # The k agg/array expressions are JVM-parsed SQL strings: building
+    # 64 Column-API trees cost ~1.2s of driver time per call (guide §1
+    # — construction is charged to the query by the bench timer).
     aggs = [
-        F.min(
-            (F.col("_h1") + F.lit(j) * F.col("_h2") + F.lit(j * j)) % F.lit(P48)
-        ).alias(f"_m{j}")
+        F.expr(f"min((_h1 + {j}L * _h2 + {j * j}L) % {P48}L)").alias(f"_m{j}")
         for j in range(num_hashes)
     ]
-    sentinel = F.lit(_SIG_SENTINEL).cast("long")
-    sig = F.array(*[F.coalesce(F.col(f"_m{j}"), sentinel) for j in range(num_hashes)])
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"coalesce(_m{j}, {_SIG_SENTINEL}L)" for j in range(num_hashes)
+        )
+        + ")"
+    )
     sig_rows = hashed.groupBy(id_col).agg(*aggs).select(F.col(id_col), sig.alias(out))
     return df.join(sig_rows, id_col)
 
@@ -231,14 +237,20 @@ def minhash_dedup_md5(
 ) -> DataFrame:
     """md5-twin of ``minhash_dedup`` — the variant the driver's DuckDB
     oracle replays end-to-end (signatures, band buckets, Jaccard
-    verify, transitive-closure components, min-id representative)."""
+    verify, transitive-closure components, min-id representative).
+
+    The candidate pairs are materialized (best-effort checkpoint) so
+    the verify stage can shingle ONLY candidate docs — see
+    ``ngram_jaccard(prefilter=True)``."""
     sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col=id_col)
-    pairs = lsh_candidate_pairs(
-        sigs, id_col, "minhash", bands, num_hashes // bands, hasher="md5"
+    pairs = _checkpoint_if_possible(
+        lsh_candidate_pairs(
+            sigs, id_col, "minhash", bands, num_hashes // bands, hasher="md5"
+        )
     )
-    dupes = ngram_jaccard(pairs, df, id_col, text_col, shingle_n, hasher="md5").where(
-        F.col("jaccard") >= threshold
-    )
+    dupes = ngram_jaccard(
+        pairs, df, id_col, text_col, shingle_n, hasher="md5", prefilter=True
+    ).where(F.col("jaccard") >= threshold)
     comp = duplicate_components(dupes, max_rounds=cc_max_rounds)
     losers = comp.where(F.col("rep") < F.col("node")).select(
         F.col("node").alias(id_col)
@@ -322,15 +334,27 @@ def minhash_signatures(
     )
     # xxhash64 silently skips NULL args (never returns NULL), so the
     # no-shingle row from explode_outer must be masked explicitly or
-    # empty/NULL docs would get a real-looking signature of hash(seed)
+    # empty/NULL docs would get a real-looking signature of hash(seed).
+    # JVM-parsed SQL strings for the k aggs — see the md5 twin for the
+    # construction-cost rationale. CAST pins the seed literal to INT,
+    # the type F.lit(seed + i) produced (xxhash64 is type-sensitive).
+    def _seed_lit(v: int) -> str:
+        # match F.lit's type choice: INT when it fits, else BIGINT
+        return f"CAST({v} AS INT)" if -(2**31) <= v < 2**31 else f"{v}L"
+
     aggs = [
-        F.min(
-            F.when(F.col("_h").isNotNull(), F.xxhash64(F.col("_h"), F.lit(seed + i)))
+        F.expr(
+            "min(CASE WHEN _h IS NOT NULL "
+            f"THEN xxhash64(_h, {_seed_lit(seed + i)}) END)"
         ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    sentinel = F.lit((1 << 63) - 1).cast("long")
-    sig = F.array(*[F.coalesce(F.col(f"_m{i}"), sentinel) for i in range(num_hashes)])
+    sentinel = (1 << 63) - 1
+    sig = F.expr(
+        "array("
+        + ", ".join(f"coalesce(_m{i}, {sentinel}L)" for i in range(num_hashes))
+        + ")"
+    )
     sig_rows = (
         exploded.groupBy(id_col).agg(*aggs).select(F.col(id_col), sig.alias(out))
     )
@@ -353,26 +377,32 @@ def lsh_candidate_pairs(
     ``hasher="md5"`` buckets on md5 of the comma-joined band slice
     (engine-portable: DuckDB ``md5(array_to_string(list_slice(...)))``)
     instead of the faster JVM array xxhash64.
+
+    The banded explode is ONE JVM-parsed SQL expression (identical
+    tree to the per-band Column-API build; construction cost — see
+    ``minhash_signatures_md5``).
     """
+    from turboxsl_spark.operators.similarity import _sql_ident
 
-    def bucket_of(b: int) -> Column:
-        sl = F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+    sc = _sql_ident(sig_col)
+
+    def bucket_sql(b: int) -> str:
+        sl = f"slice({sc}, {b * rows_per_band + 1}, {rows_per_band})"
         if hasher == "md5":
-            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
-        return F.xxhash64(sl)
+            return f"md5(concat_ws(',', CAST({sl} AS ARRAY<STRING>)))"
+        return f"xxhash64({sl})"
 
-    band_idx = list(range(bands))
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-                    for b in band_idx
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    bb = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({b} AS band, {bucket_sql(b)} AS bucket)"
+            for b in range(bands)
+        )
+        + "))"
+    )
+    banded = df.select(F.col(id_col).alias("_id"), bb.alias("bb")).select(
+        "_id", "bb.band", "bb.bucket"
+    )
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -390,6 +420,7 @@ def ngram_jaccard(
     text_col: str = "text",
     shingle_n: int = 3,
     hasher: str = "xxh64",
+    prefilter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage).
 
@@ -397,7 +428,26 @@ def ngram_jaccard(
     arrays intersect ~10x faster; 64-bit collisions are negligible).
     ``hasher="md5"`` uses md5-hex shingle identities instead — the
     engine-portable twin the DuckDB oracle reproduces; same Jaccard
-    (identity sets are identical up to vanishing digest collisions)."""
+    (identity sets are identical up to vanishing digest collisions).
+
+    ``prefilter=True`` semi-joins ``docs`` to the ids appearing in
+    ``pairs`` BEFORE tokenizing/shingling, so the (interpreted,
+    per-shingle) identity arrays are built only for candidate docs —
+    at corpus scale the candidate set is orders of magnitude smaller
+    than the corpus, and without the prefilter this stage shingles the
+    WHOLE corpus twice just to discard non-candidates in the join.
+    Only enable it when ``pairs`` is materialized (checkpointed): the
+    id scan adds two more consumers of the ``pairs`` plan, which would
+    otherwise re-run the full LSH pipeline per consumer."""
+    if prefilter:
+        ids = (
+            pairs.select(F.col("id_a").alias("_jid"))
+            .unionByName(pairs.select(F.col("id_b").alias("_jid")))
+            .distinct()
+        )
+        # no broadcast hint: AQE broadcasts the id set when it is small
+        # and falls back to a shuffled semi-join when it is not
+        docs = docs.join(ids, docs[id_col] == ids["_jid"], "left_semi")
     if hasher == "md5":
         ident = F.transform(
             shingles(F.col("_toks"), shingle_n), lambda s: F.md5(s)
@@ -469,21 +519,26 @@ def duplicate_components(dupes: DataFrame, max_rounds: int = 16) -> DataFrame:
         nbr = und.join(r_b, "b").groupBy("a").agg(F.min("_rb").alias("_nb"))
         stepped = rep.join(
             nbr.withColumnRenamed("a", "node"), "node", "left"
-        ).select("node", F.least("rep", F.coalesce("_nb", "rep")).alias("rep"))
-        # (2) pointer-jump through the (tiny) label table
+        ).select(
+            "node",
+            F.least("rep", F.coalesce("_nb", "rep")).alias("rep"),
+            F.col("rep").alias("_old"),
+        )
+        # (2) pointer-jump through the (tiny) label table; the PREVIOUS
+        # round's label rides along so the fixpoint probe below is a
+        # filter over this checkpoint, not a join back to the old table
+        # (the probe join was a measured ~0.3s/round at sf0.1)
         r2 = stepped.select(F.col("node").alias("_n2"), F.col("rep").alias("_r2"))
         jumped = _reliable_checkpoint(
             stepped.join(r2, stepped.rep == r2._n2, "left")
-            .select("node", F.least("rep", F.coalesce("_r2", "rep")).alias("rep"))
+            .select(
+                "node",
+                F.least("rep", F.coalesce("_r2", "rep")).alias("rep"),
+                "_old",
+            )
         )
-        changed = (
-            jumped.alias("n")
-            .join(rep.alias("o"), "node")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
-        rep = jumped
+        changed = jumped.where(F.col("rep") != F.col("_old")).limit(1).count()
+        rep = jumped.drop("_old")
         if changed == 0:
             break
     return rep
@@ -501,10 +556,14 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: sign → LSH buckets → Jaccard verify →
     connected components (label-prop + pointer-jump to fixpoint) →
-    keep the min-id representative of each component."""
+    keep the min-id representative of each component. Candidate pairs
+    are materialized so the verify shingles only candidate docs
+    (``ngram_jaccard(prefilter=True)``)."""
     sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, id_col=id_col)
-    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", bands, num_hashes // bands)
-    dupes = ngram_jaccard(pairs, df, id_col, text_col).where(
+    pairs = _checkpoint_if_possible(
+        lsh_candidate_pairs(sigs, id_col, "minhash", bands, num_hashes // bands)
+    )
+    dupes = ngram_jaccard(pairs, df, id_col, text_col, prefilter=True).where(
         F.col("jaccard") >= threshold
     )
     comp = duplicate_components(dupes, max_rounds=cc_max_rounds)
