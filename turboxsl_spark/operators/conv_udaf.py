@@ -51,7 +51,28 @@ def _response_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def response_latency_stats(df: DataFrame) -> DataFrame:
-    """Per-conversation user→assistant response-latency statistics."""
-    return df.groupBy("conv_id").applyInPandas(
-        _response_stats, schema=RESPONSE_STATS_SCHEMA
+    """Per-conversation user→assistant response-latency statistics.
+
+    Two measured plan properties (r06, guide §4.1/§2.2):
+
+    * Only the four columns the kernel reads cross the JVM↔Python
+      boundary — Spark cannot see which columns an opaque grouped-map
+      function touches, so an un-projected ``applyInPandas`` ships
+      (and shuffles) every column, including the text payload.
+    * The group-key exchange is an EXPLICIT ``repartition(P, conv_id)``
+      (P = the session's shuffle-partition setting — config-derived,
+      not hard-coded), which ``groupBy(conv_id)`` reuses. Left to AQE,
+      the now-narrow shuffle coalesces to a handful of partitions and
+      the *Python worker stage* loses its parallelism — the projection
+      alone measured SLOWER than shipping everything (2.7s vs 2.0s at
+      sf0.1/32 cores) because wall-clock here is bounded by concurrent
+      pandas workers, not shuffled bytes. Projection + pinned
+      partition count measured 0.96s vs 2.35s for the r05 shape.
+    """
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.select("conv_id", "turn_idx", "role", "ts")
+        .repartition(p, "conv_id")
+        .groupBy("conv_id")
+        .applyInPandas(_response_stats, schema=RESPONSE_STATS_SCHEMA)
     )
