@@ -469,11 +469,16 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from turboxsl_spark.functions.text_analysis import repetition_metrics, words_of
 
     d = _t(spark, sf_dir, "documents")
+    # no final orderBy (r06, guide §2.4): the query is otherwise
+    # map-only, so a global sort added a range exchange whose boundary
+    # SAMPLING re-executed the whole (interpreted, per-bigram) metric
+    # projection a second time — measured ~2x the query. The driver's
+    # gate compares row SETS (order-insensitive; the no-orderBy queries
+    # have been hash-green since r01), so the sort bought nothing.
     return (
         d.withColumn("w", words_of("text"))
         .select("doc_id", repetition_metrics(F.col("w")).alias("m"))
         .select("doc_id", "m.*")
-        .orderBy("doc_id")
     )
 
 
@@ -1033,6 +1038,8 @@ def q_cm_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates — the md5 double-hash family again."""
     from turboxsl_spark.operators.sketches import cm_build, cm_estimate
 
+    from turboxsl_spark.operators.dedup import _checkpoint_if_possible
+
     d = _t(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     toks = d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok")).where(
@@ -1041,8 +1048,13 @@ def q_cm_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass over the occurrences: the exact per-token rollup is
     # needed for the output anyway, so the sketch builds WEIGHTED from
     # (tok, count) — |vocab|·d exploded rows instead of |occurrences|·d
-    # (identical counters; the pre-aggregated form is the 100-TB shape)
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # (identical counters; the pre-aggregated form is the 100-TB shape).
+    # The rollup is materialized (bounded by |vocab|) because it has
+    # TWO consumers — the eager sketch build and the output join —
+    # which otherwise each re-run the full occurrence explode+agg.
+    exact = _checkpoint_if_possible(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
     sketch = cm_build(exact, "tok", w=512, d=4, salt="cm_v1", weight_col="exact_cnt")
     probe = toks.where(F.col("doc_id") % 97 == 0).select("tok").distinct()
     est = cm_estimate(probe, sketch, "tok", salt="cm_v1")
@@ -1073,6 +1085,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
         ),
     ).otherwise(F.col("text"))
+    # no final orderBy (r06): map-only query — the global sort's range
+    # sampling re-ran the whole regex chain a second time (see
+    # q_repetition_profile; gate comparison is order-insensitive)
     return (
         d.select("doc_id", injected.alias("t"))
         .select(
@@ -1081,7 +1096,6 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             pii_counts("t").alias("c"),
         )
         .select("doc_id", "redacted", "c.*")
-        .orderBy("doc_id")
     )
 
 

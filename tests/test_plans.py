@@ -121,11 +121,12 @@ def test_rank_queries_have_no_single_partition_exchange(spark):
 
 def test_explode_tokens_uses_distributed_limit(spark):
     """Top-k phase 1 rides TakeOrderedAndProject (per-partition top-k +
-    driver merge of k·P rows), not a global sort. global_topk now
-    materializes phase 1 eagerly (localCheckpoint truncates lineage),
-    so the gate checks the phase-1 plan shape directly — orderBy+limit
-    over an aggregate — and separately that the FINAL plan never sorts
-    or funnels more than the k checkpointed rows."""
+    driver merge of k·P rows), not a global sort. Phase 2 (r06)
+    attaches ranks on the driver to the ≤k rows the limit already
+    merged there, so the gate checks the phase-1 plan shape directly —
+    orderBy+limit over an aggregate — and separately that the FINAL
+    plan is just the bounded k-row local relation (no sort, no
+    single-partition funnel, no re-ranking machinery downstream)."""
     import __spark_entry__ as m
 
     df = spark.range(0, 1000).selectExpr("id % 97 AS token", "id AS n")
@@ -133,10 +134,11 @@ def test_explode_tokens_uses_distributed_limit(spark):
     assert "TakeOrderedAndProject" in plan_of(phase1), plan_of(phase1)[:3000]
 
     plan = plan_of(m.q_explode_tokens(spark, SF_DIR))
-    # final plan starts from the k-row checkpoint: no full-table sort,
-    # no single-partition funnel can exist downstream
+    # final plan starts from the k-row driver-ranked local relation:
+    # no full-table sort, no single-partition funnel, no window
     assert "Exchange SinglePartition" not in plan, plan[:4000]
-    assert "Scan ExistingRDD" in plan, plan[:4000]
+    assert "Window" not in plan, plan[:4000]
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan[:4000]
 
 
 def test_bucketed_input_zero_exchange(spark, tx, tmp_path_factory):

@@ -45,7 +45,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def cleanup_scratch(path: str, spark=None) -> None:
@@ -281,15 +281,19 @@ def global_topk(
     """Top-k rows under a total order, with 1-based ranks attached.
 
     Phase 1 is Spark's own distributed limit (``TakeOrderedAndProject``:
-    each partition keeps its local top-k, the driver merges k·P rows —
+    each partition keeps its local top-k, the driver MERGES k·P rows —
     never a full global sort, never a single-task window). Phase 2
-    ranks the surviving ≤k rows with the distributed ``global_rank`` in
-    its memory mode (the input is bounded by k — no scratch write).
+    attaches ranks to those ≤k rows ON THE DRIVER: the limit already
+    delivers them there in sorted order, so enumerating them is free
+    and bounded by k — the previous distributed phase 2
+    (checkpoint + offset job + window) spent ~4 extra Spark jobs
+    re-ranking rows the driver had just merged (r06, guide §1.2).
     """
-    top = df.orderBy(*order).limit(k)
-    return global_rank(
-        top, order, out=out, num_partitions=max(2, min(8, k)), materialize="memory"
-    )
+    spark = df.sparkSession
+    rows = df.orderBy(*order).limit(k).collect()  # ≤ k rows, sorted
+    schema = df.schema.add(StructField(out, LongType(), True))
+    ranked = [(*r, i + 1) for i, r in enumerate(rows)]
+    return spark.createDataFrame(ranked, schema)
 
 
 def caseorder_keys(
