@@ -509,14 +509,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of the near-dup pipeline, oracle-checked end-to-end (string
     shingles here so DuckDB can mirror them; production uses the
     hash-shingle fast path, pinned equal in tests/test_dedup.py)."""
-    from turboxsl_spark.operators.dedup import shingles, tokenize
+    from turboxsl_spark.operators.dedup import (
+        _checkpoint_if_possible,
+        shingles,
+        tokenize,
+    )
 
     d = _t(spark, sf_dir, "documents")
     # tokens materialized into a bound column FIRST — inlining the
     # tokenizer into the shingle transform re-runs the regex split per
-    # shingle access (interpreted lambdas have no CSE; measured 17s→2s)
-    sh = d.select("doc_id", tokenize(F.col("text")).alias("_toks")).select(
-        "doc_id", F.array_distinct(shingles(F.col("_toks"), 3)).alias("sh")
+    # shingle access (interpreted lambdas have no CSE; measured 17s→2s).
+    # The shingle table is then materialized ONCE (r06): it feeds BOTH
+    # sides of the adjacent-pair self-join, which otherwise re-runs
+    # the interpreted per-shingle string assembly over every doc twice
+    # (paired A/B at sf0.1: 1.28s -> 0.90s).
+    sh = _checkpoint_if_possible(
+        d.select("doc_id", tokenize(F.col("text")).alias("_toks")).select(
+            "doc_id", F.array_distinct(shingles(F.col("_toks"), 3)).alias("sh")
+        )
     )
     a = sh.selectExpr("doc_id AS id_a", "sh AS sh_a")
     b = sh.selectExpr("doc_id - 1 AS id_a", "doc_id AS id_b", "sh AS sh_b")
@@ -1021,7 +1031,8 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_hit",
             F.coalesce("_ex", F.lit(False)).alias("exact_hit"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (r06): the range sampling re-ran the probe
+        # chain + join; the gate comparison is order-insensitive
     )
 
 
@@ -1160,7 +1171,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stratified_hash_sample(
         d, "doc_id", "lang", {"en": 0.5, "de": 0.25, "zh": 1.0}, salt="strat_v1"
     )
-    return out.select("doc_id", "lang").orderBy("doc_id")
+    # no final orderBy (r06): map-only — see q_repetition_profile
+    return out.select("doc_id", "lang")
 
 
 def q_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,11 +1396,12 @@ def q_comment_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("app"))
     )
     data = F.when(F.col("doc_id") % 7 == 0, F.lit("x?>y")).otherwise(F.col("source"))
+    # no final orderBy (r06): map-only — see q_repetition_profile
     return d.select(
         "doc_id",
         xml_comment(content).alias("comment_node"),
         xml_pi(target, data).alias("pi_node"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:

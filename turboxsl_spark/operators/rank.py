@@ -250,11 +250,14 @@ def exact_quantiles(
         # the result is bounded by len(qs) — materialize it eagerly so
         # the rank's scratch parquet can be freed HERE instead of
         # leaking until some later action
-        rows = (
+        # sort the ≤len(qs) result rows on the DRIVER: a DataFrame
+        # orderBy here would add a range exchange (plus its boundary
+        # sampling pass over the rank join) to order a handful of rows
+        rows = sorted(
             ranked.join(F.broadcast(tdf), ranked["_q_rank"] == tdf["_q_r"])
             .select("q", F.col("_q_v").alias("value"))
-            .orderBy("q")
-            .collect()
+            .collect(),
+            key=lambda r: r["q"],
         )
     finally:
         if own_scratch:
