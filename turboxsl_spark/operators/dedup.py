@@ -403,7 +403,11 @@ def lsh_candidate_pairs(
     banded = df.select(F.col(id_col).alias("_id"), bb.alias("bb")).select(
         "_id", "bb.band", "bb.bucket"
     )
-    l = banded.alias("l")
+    # MERGE hint so the self-join's two (identical) sides share ONE
+    # exchange via AQE ReusedExchange instead of a broadcast build
+    # recomputing the whole signature pipeline — see
+    # embedding_near_dup_pairs for the measurement.
+    l = banded.alias("l").hint("merge")
     r = banded.alias("r")
     return (
         l.join(r, ["band", "bucket"])
@@ -690,7 +694,14 @@ def embedding_near_dup_pairs(
         .select("_band", "_bkt")
     )
     banded = banded.join(F.broadcast(oversized), ["_band", "_bkt"], "left_anti")
-    l, rr = banded.alias("l"), banded.alias("r")
+    # MERGE hint: a broadcast self-join materializes the banded stream
+    # TWICE (stream side + broadcast build both recompute the fold-dot
+    # signature); a shuffle-based join's two sides are the identical
+    # exchange, which AQE computes ONCE (ReusedExchange) — measured
+    # 2.95s -> 2.28s at sf0.1. Sort-merge over shuffled-hash: spills
+    # gracefully at scale, and AQE still downgrades to a local
+    # broadcast when a side is small.
+    l, rr = banded.alias("l").hint("merge"), banded.alias("r")
     cand = (
         l.join(rr, ["_band", "_bkt"])
         .where(F.col("l._id") < F.col("r._id"))
