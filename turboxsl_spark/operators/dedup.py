@@ -184,6 +184,7 @@ def minhash_signatures_md5(
     shingle_n: int = 3,
     out: str = "minhash",
     id_col: str = "doc_id",
+    attach: bool = True,
 ) -> DataFrame:
     """md5-twin of ``minhash_signatures`` (same plan shape: explode →
     k fused min aggregates, map-side partial combine; see the xxh
@@ -222,6 +223,11 @@ def minhash_signatures_md5(
         + ")"
     )
     sig_rows = hashed.groupBy(id_col).agg(*aggs).select(F.col(id_col), sig.alias(out))
+    if not attach:
+        # (id, signature) only — the LSH banding path needs nothing
+        # else, and the join back onto ``df`` is a whole extra join
+        # whose payload the banding immediately projects away
+        return sig_rows
     return df.join(sig_rows, id_col)
 
 
@@ -242,7 +248,9 @@ def minhash_dedup_md5(
     The candidate pairs are materialized (best-effort checkpoint) so
     the verify stage can shingle ONLY candidate docs — see
     ``ngram_jaccard(prefilter=True)``."""
-    sigs = minhash_signatures_md5(df, text_col, num_hashes, shingle_n, id_col=id_col)
+    sigs = minhash_signatures_md5(
+        df, text_col, num_hashes, shingle_n, id_col=id_col, attach=False
+    )
     pairs = _checkpoint_if_possible(
         lsh_candidate_pairs(
             sigs, id_col, "minhash", bands, num_hashes // bands, hasher="md5"
@@ -300,6 +308,7 @@ def minhash_signatures(
     seed: int = 42,
     out: str = "minhash",
     id_col: str = "doc_id",
+    attach: bool = True,
 ) -> DataFrame:
     """k-permutation MinHash over word shingles, all JVM-side.
 
@@ -358,6 +367,8 @@ def minhash_signatures(
     sig_rows = (
         exploded.groupBy(id_col).agg(*aggs).select(F.col(id_col), sig.alias(out))
     )
+    if not attach:
+        return sig_rows  # see the md5 twin: banding needs (id, sig) only
     return df.join(sig_rows, id_col)
 
 
@@ -563,7 +574,9 @@ def minhash_dedup(
     keep the min-id representative of each component. Candidate pairs
     are materialized so the verify shingles only candidate docs
     (``ngram_jaccard(prefilter=True)``)."""
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_n, id_col=id_col)
+    sigs = minhash_signatures(
+        df, text_col, num_hashes, shingle_n, id_col=id_col, attach=False
+    )
     pairs = _checkpoint_if_possible(
         lsh_candidate_pairs(sigs, id_col, "minhash", bands, num_hashes // bands)
     )
